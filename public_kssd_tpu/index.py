@@ -1,0 +1,125 @@
+"""Stage II: invert a sketch directory into the searchable index.
+
+Reference: run_stageII (command_dist.c:381-417) + combco2mco
+(co2mco.c:25-77) build, per component, a DENSE 16^COMPONENT_SZ-row
+cumulative index (2 GiB at CSZ=7 regardless of data!) plus concatenated
+genome-id postings.
+
+TPU-native redesign: the index is built by a single stable argsort of the
+component's codes (postings order = code ascending, genome ascending —
+bit-identical to the reference's insertion order), and the in-memory /
+on-device representation is CSR over the *occupied* rows only
+(unique codes + offsets + postings). The dense on-disk format is kept as
+an export for byte-compatibility; the sparse form is what search loads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from public_kssd_tpu import formats
+
+
+@dataclasses.dataclass
+class SparseIndex:
+    """CSR inverted index of one component over occupied code rows."""
+
+    uniq_codes: np.ndarray  # uint32 [nnz] ascending
+    offsets: np.ndarray  # uint32/uint64 [nnz+1] cumulative postings counts
+    gids: np.ndarray  # uint32 [total] genome ids, grouped by code
+    n_genomes: int
+
+
+def build_component_index(
+    codes: np.ndarray, index: np.ndarray, n_genomes: int
+) -> SparseIndex:
+    """Invert one component's concatenated codes (combco layout)."""
+    gid_of = (
+        np.searchsorted(index[1:], np.arange(codes.size, dtype=np.uint64), "right")
+        .astype(np.uint32)
+    )
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    sorted_gids = gid_of[order]
+    uniq, counts = np.unique(sorted_codes, return_counts=True)
+    offsets = np.zeros(uniq.size + 1, dtype=np.uint64)
+    np.cumsum(counts, out=offsets[1:])
+    return SparseIndex(
+        uniq_codes=uniq.astype(np.uint32),
+        offsets=offsets,
+        gids=sorted_gids,
+        n_genomes=n_genomes,
+    )
+
+
+def sparse_to_dense_offsets(idx: SparseIndex, comp_sz: int) -> np.ndarray:
+    """Expand CSR offsets to the reference's dense inclusive-cumsum rows
+    (combco2mco's row_offset after prefix sum, co2mco.c:57)."""
+    counts = np.zeros(comp_sz, dtype=np.uint64)
+    counts[idx.uniq_codes.astype(np.int64)] = np.diff(idx.offsets)
+    return np.cumsum(counts)
+
+
+def dense_to_sparse(row_offset: np.ndarray, gids: np.ndarray, n_genomes: int) -> SparseIndex:
+    """Load a reference-format dense component into CSR."""
+    counts = np.diff(row_offset, prepend=np.uint64(0))
+    occupied = np.flatnonzero(counts)
+    offsets = np.zeros(occupied.size + 1, dtype=np.uint64)
+    np.cumsum(counts[occupied], out=offsets[1:])
+    return SparseIndex(
+        uniq_codes=occupied.astype(np.uint32),
+        offsets=offsets,
+        gids=gids,
+        n_genomes=n_genomes,
+    )
+
+
+def run_stage2(co_dir: str, mco_dir: str, comp_sz: int) -> formats.McoStat:
+    """Build the reference-compatible index directory from a sketch dir.
+
+    Writes mcofiles.stat + mco.<c> + mco.index.<c> (dense format) into
+    ``mco_dir`` (usually the same directory, as the reference tutorial
+    does)."""
+    co = formats.read_co_stat(co_dir)
+    os.makedirs(mco_dir, exist_ok=True)
+    comp_space = 1 << (4 * comp_sz)
+    for c in range(co.comp_num):
+        codes, index = formats.read_combco(co_dir, c)
+        sp = build_component_index(codes, index, co.infile_num)
+        dense = sparse_to_dense_offsets(sp, comp_space)
+        formats.write_mco_component(mco_dir, c, dense, sp.gids)
+    stat = formats.McoStat(
+        params_id=co.params_id,
+        kmerlen=co.kmerlen,
+        dim_rd_len=co.dim_rd_len,
+        comp_num=co.comp_num,
+        infile_num=co.infile_num,
+        ctx_ct=co.ctx_ct,
+        names=co.names,
+    )
+    formats.write_mco_stat(mco_dir, stat)
+    return stat
+
+
+def load_sparse_index(mco_dir: str) -> tuple[formats.McoStat, list[SparseIndex]]:
+    """Load a reference-format index directory as CSR components."""
+    stat = formats.read_mco_stat(mco_dir)
+    comps = []
+    for c in range(stat.comp_num):
+        row_offset, gids = formats.read_mco_component(mco_dir, c)
+        comps.append(dense_to_sparse(row_offset, gids, stat.infile_num))
+    return stat, comps
+
+
+def sparse_index_from_co(co_dir: str) -> tuple[formats.CoStat, list[SparseIndex]]:
+    """Build CSR components directly from a sketch dir (no dense files) —
+    the fast path used when reference-format export is not needed."""
+    co = formats.read_co_stat(co_dir)
+    comps = []
+    for c in range(co.comp_num):
+        codes, index = formats.read_combco(co_dir, c)
+        comps.append(build_component_index(codes, index, co.infile_num))
+    return co, comps

@@ -1,0 +1,167 @@
+"""Shared-k-mer counting: the search hot loop, data-parallel.
+
+The reference walks, per query code, the inverted-index postings list and
+increments a mmap'ed query x ref counter matrix with OpenMP threads
+(mco_cbdco_nobin_dist, command_dist.c:763-790). The TPU-native version
+turns that into three static-shape data-parallel stages:
+
+  1. row lookup   — binary search of query codes in the CSR unique-code
+                    array (vectorised searchsorted, VPU)
+  2. ragged expansion — a capacity-bounded flattening of all (query
+                    occurrence x posting) pairs via cumsum + searchsorted
+  3. histogram    — scatter-add of pair ids into the [n_qry, n_ref]
+                    count matrix
+
+Total work is O(#pairs), the same as the reference's postings walk; there
+is no per-query serial loop and no atomics (the scatter-add is XLA's).
+
+The host wrapper picks the pair capacity from a cheap device prepass and
+pads to power-of-two buckets, so each distinct capacity compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("n_ref",))
+def _match_lengths(
+    qry_codes, qry_qid, uniq_codes, offsets, n_ref: int
+):
+    """Stage 1: per query-occurrence postings range (start, len)."""
+    nnz = uniq_codes.shape[0]
+    row = jnp.searchsorted(uniq_codes, qry_codes)
+    row_c = jnp.clip(row, 0, max(nnz - 1, 0))
+    found = (row < nnz) & (uniq_codes[row_c] == qry_codes) & (qry_qid >= 0)
+    start = jnp.where(found, offsets[row_c], 0)
+    length = jnp.where(found, offsets[row_c + 1] - offsets[row_c], 0)
+    return start, length
+
+
+def count_shared_np(
+    qry_codes: np.ndarray,
+    qry_index: np.ndarray,
+    uniq_codes: np.ndarray,
+    offsets: np.ndarray,
+    gids: np.ndarray,
+    n_qry: int,
+    n_ref: int,
+) -> np.ndarray:
+    """Host (numpy) counting — reference semantics, used for small inputs
+    and as the oracle in tests."""
+    counts = np.zeros((n_qry, n_ref), dtype=np.uint32)
+    qid_of = np.searchsorted(
+        qry_index[1:], np.arange(qry_codes.size, dtype=np.uint64), "right"
+    )
+    row = np.searchsorted(uniq_codes, qry_codes)
+    row_c = np.clip(row, 0, max(uniq_codes.size - 1, 0))
+    found = (row < uniq_codes.size) & (uniq_codes[row_c] == qry_codes)
+    starts = offsets[row_c][found].astype(np.int64)
+    lens = (offsets[row_c + 1] - offsets[row_c])[found].astype(np.int64)
+    qids = qid_of[found]
+    if lens.sum() == 0:
+        return counts
+    expanded_gids = gids[_ragged_indices_np(starts, lens)]
+    expanded_qids = np.repeat(qids, lens)
+    np.add.at(counts, (expanded_qids, expanded_gids.astype(np.int64)), 1)
+    return counts
+
+
+def _ragged_indices_np(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """[s0..s0+l0) ++ [s1..s1+l1) ++ ... as one flat index array."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    rep_starts = np.repeat(starts.astype(np.int64), lens)
+    cum = np.cumsum(lens)
+    ar = np.arange(total, dtype=np.int64)
+    within = ar - np.repeat(cum - lens, lens)
+    return rep_starts + within
+
+
+@functools.partial(jax.jit, static_argnames=("n_qry", "n_ref", "capacity"))
+def count_shared_device(
+    qry_codes: jax.Array,  # uint32 [L] concatenated query codes (padded)
+    qry_qid: jax.Array,  # int32 [L] query id per code, -1 = padding
+    uniq_codes: jax.Array,  # uint32 [nnz] CSR unique codes (ascending)
+    offsets: jax.Array,  # uint64 [nnz+1]
+    gids: jax.Array,  # uint32 [total]
+    *,
+    n_qry: int,
+    n_ref: int,
+    capacity: int,
+) -> jax.Array:
+    """Device counting kernel -> uint32 [n_qry, n_ref].
+
+    ``capacity`` must be >= total matching pairs (host computes it with
+    ``matching_pairs_device``); excess capacity is masked out.
+    """
+    start, length = _match_lengths(qry_codes, qry_qid, uniq_codes, offsets, n_ref)
+    cum = jnp.cumsum(length.astype(jnp.int64))
+    total = cum[-1]
+    t = jnp.arange(capacity, dtype=jnp.int64)
+    src = jnp.searchsorted(cum, t, side="right")
+    src_c = jnp.clip(src, 0, length.shape[0] - 1)
+    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+    off = t - prev
+    pos = (start[src_c].astype(jnp.int64) + off)
+    pos = jnp.clip(pos, 0, gids.shape[0] - 1)
+    rid = gids[pos].astype(jnp.int64)
+    qid = qry_qid[src_c].astype(jnp.int64)
+    valid = t < total
+    flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint32)
+    counts = counts.at[flat].add(jnp.uint32(1))
+    return counts[:-1].reshape(n_qry, n_ref)
+
+
+@jax.jit
+def matching_pairs_device(qry_codes, qry_qid, uniq_codes, offsets) -> jax.Array:
+    """Total matching (query occurrence x posting) pairs — capacity prepass."""
+    start, length = _match_lengths(qry_codes, qry_qid, uniq_codes, offsets, 0)
+    return jnp.sum(length.astype(jnp.int64))
+
+
+def count_shared(
+    qry_codes: np.ndarray,
+    qry_index: np.ndarray,
+    sparse_index,
+    n_qry: int,
+    use_device: bool = True,
+) -> np.ndarray:
+    """Count shared k-mers of all queries against one component's index."""
+    n_ref = sparse_index.n_genomes
+    if not use_device or qry_codes.size == 0:
+        return count_shared_np(
+            qry_codes,
+            qry_index,
+            sparse_index.uniq_codes,
+            sparse_index.offsets,
+            sparse_index.gids,
+            n_qry,
+            n_ref,
+        )
+    qid_of = np.searchsorted(
+        qry_index[1:], np.arange(qry_codes.size, dtype=np.uint64), "right"
+    ).astype(np.int32)
+    L = 1 << max(int(qry_codes.size - 1).bit_length(), 6)
+    qc = np.zeros(L, dtype=np.uint32)
+    qc[: qry_codes.size] = qry_codes
+    qq = np.full(L, -1, dtype=np.int32)
+    qq[: qry_codes.size] = qid_of
+    uniq = jnp.asarray(sparse_index.uniq_codes)
+    offs = jnp.asarray(sparse_index.offsets)
+    g = jnp.asarray(sparse_index.gids)
+    qc_d = jnp.asarray(qc)
+    qq_d = jnp.asarray(qq)
+    total = int(matching_pairs_device(qc_d, qq_d, uniq, offs))
+    capacity = 1 << max(int(max(total - 1, 1)).bit_length(), 6)
+    out = count_shared_device(
+        qc_d, qq_d, uniq, offs, g,
+        n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+    )
+    return np.asarray(out)

@@ -1,0 +1,247 @@
+"""Distance statistics + reference-exact output formatting.
+
+Implements the metric/distance/CI/p-value/FDR math of output_ctrl
+(command_dist.c:1251-1287) and the printing pipeline of dist_print_nobin
+(command_dist.c:1161-1250) with bit-identical float64 arithmetic and
+glibc-printf-compatible formatting (including inf/-nan spellings), so
+``distance.out`` matches the reference byte for byte.
+
+Given shared counts XnY and sketch sizes X (ref), Y (qry):
+
+  Jaccard  J = XnY / (X + Y - XnY)         MashD = -ln(2J/(1+J)) / kmerlen
+  Containment C = XnY / min(X, Y)          AafD  = -ln(C) / kmerlen
+  sd = sqrt(m (1-m) / denom)               p = 0.5 erfc(m / sd * sqrt(1/2))
+  FDR = p * (#ref * #qry)                  CI95 = m -/+ 1.96 sd
+
+with the optional shared-count correction term rs (--correction,
+command_dist.c:1254-1261).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import struct
+from enum import IntEnum
+
+import numpy as np
+
+ALP_SIZE = 4  # command_dist.c:418
+
+
+class Metric(IntEnum):  # MTRIC (command_dist_wrapper.h:22)
+    JACCARD = 0
+    CONTAINMENT = 1
+
+
+class Fields(IntEnum):  # PFIELD (command_dist_wrapper.h:23)
+    DIST = 0
+    QV = 1
+    CI = 2
+
+
+@dataclasses.dataclass
+class OutputOptions:
+    """-M/-O/-N/-D/--correction semantics (command_dist_wrapper.c:41-65)."""
+
+    metric: Metric = Metric.JACCARD
+    fields: Fields = Fields.CI
+    correction: bool = False
+    max_dist: float = 1.0  # -D
+    top_n: int = 0  # -N (0 = all)
+
+
+def fmt_double(x: float, spec: str) -> str:
+    """Format a double the way glibc printf does, including specials:
+    %.6lf -> 'inf'/'nan'/'-nan'; %E -> 'INF'/'NAN'/'-NAN'."""
+    if math.isnan(x):
+        s = "-nan" if struct.pack("<d", x)[7] & 0x80 else "nan"
+        return s.upper() if spec == "E" else s
+    if math.isinf(x):
+        s = "-inf" if x < 0 else "inf"
+        return s.upper() if spec == "E" else s
+    if spec == "E":
+        return f"{x:E}"
+    return f"{x:.6f}"
+
+
+def _get_metric_arg(metric: Metric, m: float) -> float:
+    """GET_MATRIC macro (command_dist.c:1251): the log argument."""
+    if metric == Metric.JACCARD:
+        with np.errstate(divide="ignore"):
+            return 1.0 / (2.0 * m) + 0.5 if m != 0 else math.inf
+    return 1.0 / m if m != 0 else math.inf
+
+
+def correction_rs(x_only: float, y_only: float, kmerlen: int, dim_rd_len: int) -> float:
+    """Shared-count correction term (command_dist.c:1254-1261)."""
+    p_base = 1.0 - 1.0 / math.pow(ALP_SIZE, kmerlen - dim_rd_len)
+    p_x = 1.0 - math.pow(p_base, x_only)
+    p_y = 1.0 - math.pow(p_base, y_only)
+    denom = p_x + p_y - 2.0 * p_x * p_y
+    return p_x * p_y * (x_only + y_only) / denom
+
+
+def format_pair_line(
+    qname: str,
+    rname: str,
+    x_size: int,
+    y_size: int,
+    xny: int,
+    kmerlen: int,
+    dim_rd_len: int,
+    cmprsn_num: int,
+    opts: OutputOptions,
+) -> str | None:
+    """One distance.out line (output_ctrl, command_dist.c:1252-1287);
+    None when filtered by -D."""
+    rs = 0.0
+    if opts.correction:
+        rs = correction_rs(x_size - xny, y_size - xny, kmerlen, dim_rd_len)
+    if opts.metric == Metric.JACCARD:
+        denom = x_size + y_size - xny
+    else:
+        denom = min(x_size, y_size)
+    m = (xny - rs) / denom
+    arg = _get_metric_arg(opts.metric, m)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dist = _log(arg) / kmerlen
+    if dist > 1:
+        dist = 1.0
+    if dist > opts.max_dist:
+        return None
+    parts = [
+        f"{qname}\t{rname}\t{xny}-{_uint(rs)}|{x_size}|{y_size}"
+        f"\t{fmt_double(m, 'f')}\t{fmt_double(dist, 'f')}"
+    ]
+    if opts.fields > Fields.DIST:
+        var = m * (1 - m) / denom
+        sd = math.sqrt(var) if var >= 0 else math.nan  # C pow(var, 0.5)
+        q = _c_div(m, sd)  # C double division: x/0 = +/-inf, 0/0 = -nan (SSE)
+        # glibc erfc and IEEE multiply propagate the nan operand unchanged,
+        # so 0.5*erfc(-nan * c) stays -nan and prints "-NAN" under %E
+        pv = q if math.isnan(q) else 0.5 * _erfc(q * math.sqrt(0.5))
+        parts.append(f"\t{fmt_double(pv, 'E')}\t{fmt_double(pv * cmprsn_num, 'E')}")
+        if opts.fields > Fields.QV:
+            ci1 = m - 1.96 * sd
+            ci2 = m + 1.96 * sd
+            d1 = _log(_get_metric_arg(opts.metric, ci2)) / kmerlen
+            d2 = _log(_get_metric_arg(opts.metric, ci1)) / kmerlen
+            parts.append(
+                f"\t[{fmt_double(ci1, 'f')},{fmt_double(ci2, 'f')}]"
+                f"\t[{fmt_double(d1, 'f')},{fmt_double(d2, 'f')}]"
+            )
+    parts.append("\n")
+    return "".join(parts)
+
+
+HEADER = {  # command_dist.c:1188-1191
+    Metric.JACCARD: ("Jaccard\tMashD", "P-value(J)\tFDR(J)", "Jaccard_CI\tMashD_CI"),
+    Metric.CONTAINMENT: (
+        "ContainmentM\tAafD",
+        "P-value(C)\tFDR(C)",
+        "ContainmentM_CI\tAafD_CI",
+    ),
+}
+
+
+def format_header(opts: OutputOptions) -> str:
+    cols = ["Qry\tRef\tShared_k|Ref_s|Qry_s"]
+    for i in range(int(opts.fields) + 1):
+        cols.append("\t" + HEADER[opts.metric][i])
+    return "".join(cols) + "\n"
+
+
+def write_distance_out(
+    path: str,
+    counts: np.ndarray,  # uint32 [n_qry, n_ref]
+    ref_sizes: np.ndarray,
+    qry_sizes: np.ndarray,
+    ref_names: list[str],
+    qry_names: list[str],
+    kmerlen: int,
+    dim_rd_len: int,
+    opts: OutputOptions,
+) -> None:
+    """Emit distance.out (dist_print_nobin, command_dist.c:1161-1250)."""
+    n_qry, n_ref = counts.shape
+    cmprsn_num = n_ref * n_qry
+    with open(path, "w") as f:
+        f.write(format_header(opts))
+        for q in range(n_qry):
+            y = int(qry_sizes[q])
+            rids = range(n_ref)
+            if opts.top_n:
+                rids = _top_n_rids(counts[q], ref_sizes, y, opts)
+            for r in rids:
+                line = format_pair_line(
+                    qry_names[q],
+                    ref_names[r],
+                    int(ref_sizes[r]),
+                    y,
+                    int(counts[q, r]),
+                    kmerlen,
+                    dim_rd_len,
+                    cmprsn_num,
+                    opts,
+                )
+                if line:
+                    f.write(line)
+
+
+def _top_n_rids(row: np.ndarray, ref_sizes: np.ndarray, y: int, opts: OutputOptions):
+    """-N best-hit selection (insertion heap, command_dist.c:1212-1227):
+    descending metric, ties keep the earlier ref id first."""
+    x = ref_sizes.astype(np.float64)
+    xny = row.astype(np.float64)
+    if opts.metric == Metric.CONTAINMENT:
+        denom = np.minimum(x, float(y))
+    else:
+        denom = x + float(y) - xny
+    metric = xny / denom
+    order = np.argsort(-metric, kind="stable")[: opts.top_n]
+    # reference keeps only slots with metric strictly > 0-initialised
+    return [int(r) for r in order if metric[r] > 0.0]
+
+
+def _log(x: float) -> float:
+    """glibc/x86 log: log(neg) = -nan, log(0) = -inf, log(inf) = inf."""
+    if math.isnan(x):
+        return x
+    if x < 0:
+        return _NEG_NAN
+    if x == 0:
+        return -math.inf
+    return math.log(x) if not math.isinf(x) else math.inf
+
+
+def _erfc(x: float) -> float:
+    if math.isnan(x):
+        return math.nan
+    if math.isinf(x):
+        return 0.0 if x > 0 else 2.0
+    return math.erfc(x)
+
+
+_NEG_NAN = struct.unpack("<d", b"\x00\x00\x00\x00\x00\x00\xf8\xff")[0]
+
+
+def _c_div(a: float, b: float) -> float:
+    """IEEE double division with x86 C semantics (no ZeroDivisionError):
+    x/0 = +/-inf, 0/0 = default QNaN with sign bit set (-nan)."""
+    if math.isnan(b):
+        return b
+    if b == 0.0:
+        if math.isnan(a):
+            return a
+        if a == 0.0:
+            return _NEG_NAN
+        return math.copysign(math.inf, a) * math.copysign(1.0, b)
+    return a / b
+
+
+def _uint(rs: float) -> int:
+    """(unsigned int) cast of the correction term for printing."""
+    if math.isnan(rs):
+        return 0
+    return int(rs) & 0xFFFFFFFF

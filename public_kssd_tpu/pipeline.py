@@ -1,0 +1,242 @@
+"""Stage I orchestration: sequence files -> sketch directory ("co dir").
+
+TPU-native counterpart of run_stageI (command_dist.c:258-380): the host
+streams and 2-bit-packs each input file, the device kernel filters and
+repacks k-mers, dedup happens either by sort-unique (fast, order-
+invariant) or by exact hash-table simulation (byte-parity with the
+reference's slot-order files). Per-genome component splits are merged
+into combco.<c> + cumulative index + cofiles.stat exactly as the
+reference merge loop does (command_dist.c:314-378).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from public_kssd_tpu import formats, hashdedup, infiles, seqio
+from public_kssd_tpu.config import SketchParams
+from public_kssd_tpu.ops import sketch as sketch_ops
+
+
+@dataclasses.dataclass
+class SketchOptions:
+    """Runtime knobs of the reference ``dist`` sketching stage.
+
+    abundance      -A: 16-bit occurrence counters, .a files (fastq only)
+    min_occurrence -n: least k-mer occurrence to keep (fastq, 1..7)
+    min_qual       -Q: min raw quality byte (fastq)
+    uniq           -u: drop k-mers repeated within a genome (fasta)
+    byread         --byread: one sketch row per read
+    pipecmd        -P: shell command piping each input file to stdout;
+                   like the reference, forces the fastq interpretation
+                   (command_dist.c:287)
+    compat_order   write codes in the reference's hash-slot order for
+                   byte-identical files (distances are order-invariant)
+    """
+
+    abundance: bool = False
+    min_occurrence: int = 1
+    min_qual: int = 0
+    uniq: bool = False
+    byread: bool = False
+    pipecmd: str | None = None
+    compat_order: bool = True
+
+
+def sketch_one(
+    path: str,
+    shuffled_dim_dev,
+    params: SketchParams,
+    opts: SketchOptions,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Sketch one input file -> (codes uint64, abundances uint16|None).
+
+    Code order matches the reference writers when opts.compat_order.
+    """
+    raw = seqio.read_bytes(path, opts.pipecmd)
+    is_fastq = infiles.is_fastq(path) or bool(opts.pipecmd)
+    if is_fastq:
+        if opts.abundance:
+            # mt_shortreads2koc (iseq2comem.c:552-615): no quality filter
+            symbols = seqio.fastq_to_codes(raw, min_qual=0)
+        else:
+            symbols = seqio.fastq_to_codes(raw, min_qual=opts.min_qual)
+    else:
+        symbols = seqio.fasta_to_codes(raw)
+    kept = sketch_ops.sketch_codes_host(symbols, shuffled_dim_dev, params)
+
+    if is_fastq:
+        if opts.abundance:
+            if opts.compat_order:
+                codes, counts = hashdedup.dedup_counts_slot_order(
+                    kept, params, count_bits=16
+                )
+            else:
+                codes, counts = hashdedup.dedup_counts_sorted(kept, count_bits=16)
+            return codes, counts.astype(np.uint16)
+        if opts.compat_order:
+            codes, _ = hashdedup.dedup_counts_slot_order(
+                kept, params, count_bits=4, min_occurrence=opts.min_occurrence
+            )
+        else:
+            codes, _ = hashdedup.dedup_counts_sorted(
+                kept, count_bits=4, min_occurrence=opts.min_occurrence
+            )
+        return codes, None
+    if opts.compat_order:
+        codes = hashdedup.dedup_slot_order(kept, params, uniq=opts.uniq)
+    else:
+        codes = hashdedup.dedup_sorted(kept, uniq=opts.uniq)
+    return codes, None
+
+
+def split_components(
+    codes: np.ndarray, params: SketchParams
+) -> list[np.ndarray]:
+    """Partition a genome's codes per component, preserving order.
+
+    component = drtuple % component_num; in-component id =
+    drtuple >> comp_code_bits (wrt_co2cmpn_use_inn_subctx,
+    iseq2comem.c:525-551).
+    """
+    cnum = params.component_num
+    ids = (codes >> np.uint64(params.comp_code_bits)).astype(np.uint32)
+    if cnum == 1:
+        return [ids]
+    comp = (codes % np.uint64(cnum)).astype(np.int64)
+    return [ids[comp == c] for c in range(cnum)]
+
+
+def run_stage1(
+    input_files: list[str],
+    out_dir: str,
+    params: SketchParams,
+    shuffled_dim: np.ndarray,
+    opts: SketchOptions | None = None,
+    names: list[str] | None = None,
+) -> formats.CoStat:
+    """Sketch ``input_files`` into ``out_dir`` (combco.* + cofiles.stat)."""
+    opts = opts or SketchOptions()
+    os.makedirs(out_dir, exist_ok=True)
+    shuffled_dim_dev = jnp.asarray(shuffled_dim)
+    cnum = params.component_num
+
+    if opts.byread:
+        return _run_stage1_byread(
+            input_files, out_dir, params, shuffled_dim_dev, opts, names
+        )
+
+    per_comp_codes: list[list[np.ndarray]] = [[] for _ in range(cnum)]
+    per_comp_abund: list[list[np.ndarray]] = [[] for _ in range(cnum)]
+    per_comp_sizes: list[list[int]] = [[] for _ in range(cnum)]
+    ctx_ct = np.zeros(len(input_files), dtype=np.uint32)
+    koc = False
+    for i, path in enumerate(input_files):
+        codes, abund = sketch_one(path, shuffled_dim_dev, params, opts)
+        koc = koc or abund is not None
+        ctx_ct[i] = codes.size
+        comp_ids = split_components(codes, params)
+        if abund is not None:
+            comp_mask = (
+                (codes % np.uint64(cnum)).astype(np.int64)
+                if cnum > 1
+                else np.zeros(codes.size, np.int64)
+            )
+        for c in range(cnum):
+            per_comp_codes[c].append(comp_ids[c])
+            per_comp_sizes[c].append(comp_ids[c].size)
+            if abund is not None:
+                per_comp_abund[c].append(abund[comp_mask == c])
+
+    for c in range(cnum):
+        blob = (
+            np.concatenate(per_comp_codes[c])
+            if per_comp_codes[c]
+            else np.zeros(0, np.uint32)
+        )
+        index = np.zeros(len(input_files) + 1, dtype=np.uint64)
+        np.cumsum(per_comp_sizes[c], out=index[1:])
+        ab = np.concatenate(per_comp_abund[c]) if koc else None
+        formats.write_combco(out_dir, c, blob, index, ab)
+
+    stat = formats.CoStat(
+        params_id=params.id,
+        koc=koc,
+        kmerlen=params.kmerlen,
+        dim_rd_len=params.dim_rd_len,
+        comp_num=cnum,
+        infile_num=len(input_files),
+        all_ctx_ct=int(ctx_ct.sum()),
+        ctx_ct=ctx_ct,
+        names=list(names) if names is not None else list(input_files),
+    )
+    formats.write_co_stat(out_dir, stat)
+    return stat
+
+
+def _run_stage1_byread(
+    input_files, out_dir, params, shuffled_dim_dev, opts, names
+) -> formats.CoStat:
+    """--byread: one sketch row per read, duplicates kept, streamed in
+    encounter order (reads2mco, iseq2comem.c:78-186).
+
+    Reference quirk reproduced: the per-read cumulative index starts with
+    a zero row (read counter is pre-incremented), giving (n_reads+1)
+    uint64 entries per file; rows of all files are concatenated in one
+    co dir per input file set.
+    """
+    opts = opts
+    cnum = params.component_num
+    all_codes: list[list[np.ndarray]] = [[] for _ in range(cnum)]
+    all_counts: list[list[np.ndarray]] = [[] for _ in range(cnum)]
+    total_reads = 0
+    for path in input_files:
+        raw = seqio.read_bytes(path, opts.pipecmd)
+        if infiles.is_fastq(path) or bool(opts.pipecmd):
+            reads = seqio.fastq_to_reads(raw, min_qual=opts.min_qual)
+        else:
+            reads = seqio.fasta_to_reads(raw)
+        codes, read_id = sketch_ops.sketch_codes_reads(reads, shuffled_dim_dev, params)
+        ids = (codes >> np.uint64(params.comp_code_bits)).astype(np.uint32)
+        comp = (
+            (codes % np.uint64(cnum)).astype(np.int64)
+            if cnum > 1
+            else np.zeros(codes.size, np.int64)
+        )
+        for c in range(cnum):
+            m = comp == c
+            all_codes[c].append(ids[m])
+            cnt = np.bincount(read_id[m], minlength=len(reads)).astype(np.uint64)
+            all_counts[c].append(cnt)
+        total_reads += len(reads)
+
+    ctx_ct = np.zeros(total_reads, dtype=np.uint32)
+    for c in range(cnum):
+        blob = (
+            np.concatenate(all_codes[c]) if all_codes[c] else np.zeros(0, np.uint32)
+        )
+        counts = (
+            np.concatenate(all_counts[c]) if all_counts[c] else np.zeros(0, np.uint64)
+        )
+        index = np.zeros(counts.size + 1, dtype=np.uint64)
+        np.cumsum(counts, out=index[1:])
+        formats.write_combco(out_dir, c, blob, index)
+        ctx_ct += counts.astype(np.uint32)
+
+    stat = formats.CoStat(
+        params_id=params.id,
+        koc=False,
+        kmerlen=params.kmerlen,
+        dim_rd_len=params.dim_rd_len,
+        comp_num=cnum,
+        infile_num=total_reads,
+        all_ctx_ct=int(ctx_ct.sum()),
+        ctx_ct=ctx_ct,
+        names=[f"read_{i}" for i in range(total_reads)],
+    )
+    formats.write_co_stat(out_dir, stat)
+    return stat

@@ -1,0 +1,175 @@
+"""Host-side sequence input: fasta/fastq -> base-code streams.
+
+The device sketch kernel consumes a flat ``uint8`` array of symbols::
+
+    0..3  = A,C,G,T (2-bit code, Basemap: global_basic.c:64-72)
+    4     = BREAK: k-mer continuity reset (headers, N/other letters,
+            low-quality bases, read boundaries, junk characters)
+
+This precisely mirrors the reference scanner state machine
+(fasta2co, iseq2comem.c:205-270):
+
+  * ACGT/acgt       -> roll the 2-bit registers, base++
+  * '\\n' / '\\r'   -> skipped entirely (no reset)
+  * other alpha     -> reset (base=1)
+  * '>'             -> skip to end of line, reset
+  * anything else   -> reset
+
+so a window of 2k consecutive code symbols with no BREAK in between is
+exactly the set of k-mers the reference emits.
+
+Parsing is vectorised numpy (no per-byte Python); gz/bz2 handled like the
+reference's ``zcat -fc`` pipe (iseq2comem.c:187-200).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import subprocess
+
+import numpy as np
+
+BREAK = np.uint8(4)
+
+# Basemap (global_basic.c:64-72): ACGTacgt -> 0..3, everything else invalid.
+_BASEMAP = np.full(256, 255, dtype=np.uint8)
+for _i, _chars in enumerate((b"Aa", b"Cc", b"Gg", b"Tt")):
+    for _c in _chars:
+        _BASEMAP[_c] = _i
+
+_IS_ALPHA = np.zeros(256, dtype=bool)
+_IS_ALPHA[ord("A") : ord("Z") + 1] = True
+_IS_ALPHA[ord("a") : ord("z") + 1] = True
+
+MAPBASE = "ACGT"  # global_basic.c:72
+
+
+def read_bytes(path: str, pipecmd: str | None = None) -> bytes:
+    """Read a (possibly compressed) file like ``zcat -fc`` does."""
+    if pipecmd:
+        return subprocess.run(
+            f"{pipecmd} {path}", shell=True, check=True, stdout=subprocess.PIPE
+        ).stdout
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    if path.endswith(".bz2"):
+        with bz2.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def fasta_to_codes(raw: bytes) -> np.ndarray:
+    """Parse a fasta byte stream into a code/BREAK symbol array.
+
+    Consecutive BREAKs are collapsed; leading/trailing BREAKs trimmed —
+    neither affects which windows are valid.
+    """
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+
+    newline = (buf == ord("\n")) | (buf == ord("\r"))
+
+    # Header masking: from each '>' to the next '\n' inclusive. The scanner
+    # enters header mode on any '>' seen outside a header; a '>' inside a
+    # header is consumed by the skip loop, so interval union is equivalent.
+    gt = np.flatnonzero(buf == ord(">"))
+    in_header = np.zeros(buf.size + 1, dtype=np.int32)
+    if gt.size:
+        nl = np.flatnonzero(buf == ord("\n"))
+        # closing newline index for each '>' (or EOF)
+        close = np.searchsorted(nl, gt)
+        ends = np.where(close < nl.size, nl[np.minimum(close, nl.size - 1)], buf.size - 1)
+        np.add.at(in_header, gt, 1)
+        np.add.at(in_header, ends + 1, -1)
+        in_header = np.cumsum(in_header[:-1]) > 0
+    else:
+        in_header = in_header[:-1].astype(bool)
+
+    codes = _BASEMAP[buf]
+    is_base = codes != 255
+    # symbol classes outside headers:
+    #   base -> code; newline -> drop; everything else -> BREAK
+    keep = ~in_header & ~newline
+    sym = np.where(is_base, codes, BREAK)[keep]
+    # a header itself is a reset (base=1 on '>', iseq2comem.c:236): emit one
+    # BREAK at each header start by construction — the '>' char is outside
+    # in_header? No: '>' starts the header. Insert explicit breaks:
+    out = sym
+    if gt.size:
+        # positions of '>' within the kept-symbol coordinate system
+        kept_pos = np.cumsum(keep) - 1  # index into `sym` for each raw pos
+        brk_at = kept_pos[gt] + 1  # break goes before the next kept symbol
+        out = np.insert(sym, np.clip(brk_at, 0, sym.size), BREAK)
+    return _collapse_breaks(out)
+
+
+def fastq_to_codes(raw: bytes, min_qual: int = 0) -> np.ndarray:
+    """Parse fastq: seq = line 4i+1, qual = line 4i+3 (fastq2co,
+    iseq2comem.c:277-356). A base is valid iff Basemap-valid AND raw
+    quality byte >= min_qual (the reference compares the raw ASCII byte,
+    not phred-33). Read boundaries and invalid bases are BREAKs.
+    """
+    lines = raw.split(b"\n")
+    pieces: list[np.ndarray] = []
+    brk = np.array([BREAK], dtype=np.uint8)
+    nrec = len(lines) // 4  # trailing partial record is dropped like fgets EOF
+    for i in range(nrec):
+        seq = np.frombuffer(lines[4 * i + 1], dtype=np.uint8)
+        qual = np.frombuffer(lines[4 * i + 3], dtype=np.uint8)
+        codes = _BASEMAP[seq]
+        n = min(seq.size, qual.size) if min_qual > 0 else seq.size
+        ok = codes[:n] != 255
+        if min_qual > 0:
+            ok &= qual[:n] >= min_qual
+        sym = np.where(ok, codes[:n], BREAK)
+        pieces.append(sym)
+        pieces.append(brk)
+    if not pieces:
+        return np.zeros(0, dtype=np.uint8)
+    return _collapse_breaks(np.concatenate(pieces))
+
+
+def fastq_to_reads(raw: bytes, min_qual: int = 0) -> list[np.ndarray]:
+    """Per-read symbol arrays (for --byread and koc-by-read modes)."""
+    lines = raw.split(b"\n")
+    reads = []
+    for i in range(len(lines) // 4):
+        seq = np.frombuffer(lines[4 * i + 1], dtype=np.uint8)
+        qual = np.frombuffer(lines[4 * i + 3], dtype=np.uint8)
+        codes = _BASEMAP[seq]
+        n = min(seq.size, qual.size) if min_qual > 0 else seq.size
+        ok = codes[:n] != 255
+        if min_qual > 0:
+            ok &= qual[:n] >= min_qual
+        reads.append(np.where(ok, codes[:n], BREAK).astype(np.uint8))
+    return reads
+
+
+def fasta_to_reads(raw: bytes) -> list[np.ndarray]:
+    """Per-record symbol arrays for fasta (--byread, reads2mco
+    iseq2comem.c:78-186: one row per '>' record)."""
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    starts = np.flatnonzero(buf == ord(">"))
+    reads = []
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < starts.size else buf.size
+        reads.append(fasta_to_codes(bytes(buf[s:e])))
+    return reads
+
+
+def _collapse_breaks(sym: np.ndarray) -> np.ndarray:
+    """Collapse runs of BREAK and strip boundary BREAKs (no-op on windows)."""
+    if sym.size == 0:
+        return sym
+    is_brk = sym == BREAK
+    dup = np.zeros(sym.size, dtype=bool)
+    dup[1:] = is_brk[1:] & is_brk[:-1]
+    sym = sym[~dup]
+    # strip leading/trailing break
+    start = 1 if sym.size and sym[0] == BREAK else 0
+    end = sym.size - 1 if sym.size > start and sym[-1] == BREAK else sym.size
+    return np.ascontiguousarray(sym[start:end])
