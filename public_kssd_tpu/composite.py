@@ -1,0 +1,268 @@
+"""Metagenomic composition analysis (abundance estimation + .abv search).
+
+Reference: command_composite.c.
+
+  get_species_abundance (-r ref -q qry): per query sample, intersect the
+  query's abundance-annotated sketch (koc) with every reference genome's
+  sketch, then report per-reference matched-k-mer count, mean, 98-99
+  percentile mean, median and max (:389-547) — or write a normalised
+  binary abundance vector (.abv) with -b.
+
+  index_abv (-i): fold all .abv under <ref>/abundance_Vec into an
+  inverted abundance matrix + L2 norms (:317-387).
+
+  abv_search (-s 0|1|2): cosine / L1 / L2 sample-vs-sample search over
+  that matrix (:206-316).
+
+TPU note: the intersection is a sorted searchsorted join (vectorised);
+the reference's per-reference OpenMP hash probing is not needed. The
+sample-vs-sample search is a sparse dot/distance — for large databases
+this becomes a dense [samples x species] matmul on the MXU; the host
+implementation here follows the reference's sparse walk for exact parity.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from public_kssd_tpu import formats
+
+BINVEC_DIRNAME = "abundance_Vec"  # command_composite.c:34
+MIN_KM_S = 6  # command_composite.c:489-491
+ST_PCTL = 0.98
+ED_PCTL = 0.99
+
+
+def _intersect_abund(
+    ref_codes: np.ndarray, qry_codes: np.ndarray, qry_abund: np.ndarray
+) -> np.ndarray:
+    """Abundances of query codes matched by ref codes (order-free)."""
+    order = np.argsort(qry_codes, kind="stable")
+    sq = qry_codes[order]
+    sa = qry_abund[order]
+    pos = np.searchsorted(sq, ref_codes)
+    pos_c = np.clip(pos, 0, max(sq.size - 1, 0))
+    hit = (pos < sq.size) & (sq.size > 0)
+    hit &= np.where(hit, sq[pos_c] == ref_codes, False)
+    return sa[pos_c[hit]].astype(np.int64)
+
+
+def species_abundance(
+    ref_dir: str,
+    qry_dir: str,
+    out_dir: str | None = None,
+    binvec: bool = False,
+) -> str:
+    """-r/-q composition analysis; returns the text report. With
+    ``binvec`` also writes .abv files (get_species_abundance,
+    command_composite.c:389-547)."""
+    ref_stat = formats.read_co_stat(ref_dir)
+    qry_stat = formats.read_co_stat(qry_dir)
+    if not qry_stat.koc:
+        raise ValueError("get_species_abundance(): query has not abundance")
+    lines: list[str] = []
+    for qn in range(qry_stat.infile_num):
+        matched: list[list[np.ndarray]] = [[] for _ in range(ref_stat.infile_num)]
+        for c in range(ref_stat.comp_num):
+            ref_codes, ref_index = formats.read_combco(ref_dir, c)
+            qry_codes, qry_index, qry_abund = formats.read_combco(
+                qry_dir, c, with_abund=True
+            )
+            q_lo, q_hi = int(qry_index[qn]), int(qry_index[qn + 1])
+            qc = qry_codes[q_lo:q_hi]
+            qa = qry_abund[q_lo:q_hi]
+            for rn in range(ref_stat.infile_num):
+                r_lo, r_hi = int(ref_index[rn]), int(ref_index[rn + 1])
+                matched[rn].append(_intersect_abund(ref_codes[r_lo:r_hi], qc, qa))
+        counts = np.array([sum(a.size for a in m) for m in matched])
+        # descending by matched count; ties keep smaller ref id first
+        # (the reference's qsort is unstable on ties — avoid ties in tests)
+        order = np.argsort(-counts, kind="stable")
+        binvec_rows: list[tuple[int, np.float32]] = []
+        binvec_sum = np.float32(0)
+        for rn in order:
+            kmer_num = int(counts[rn])
+            if kmer_num < MIN_KM_S:
+                break
+            vals = np.sort(np.concatenate(matched[rn]))
+            arr1 = np.concatenate([[0], vals])  # reference is 1-indexed
+            total = int(vals.sum())
+            median_val = int(arr1[kmer_num // 2])
+            st = int(kmer_num * ST_PCTL)
+            ed = kmer_num * ED_PCTL
+            lastvals = [int(arr1[n]) for n in range(st, kmer_num + 1) if n <= ed]
+            lastsum, lastn = sum(lastvals), len(lastvals)
+            pctl_mean = np.float32(lastsum) / np.float32(lastn)
+            if binvec:
+                if median_val > 1 and kmer_num > MIN_KM_S + 1:
+                    binvec_rows.append((int(rn), pctl_mean))
+                    binvec_sum += pctl_mean
+            else:
+                mean = np.float32(total) / np.float32(kmer_num)
+                lines.append(
+                    f"{qry_stat.names[qn]}\t{ref_stat.names[rn]}\t{kmer_num}\t"
+                    f"{float(mean):.6f}\t{float(pctl_mean):.6f}\t"
+                    f"{median_val}\t{int(arr1[kmer_num])}\n"
+                )
+        if binvec:
+            out = out_dir or os.path.join(ref_dir, BINVEC_DIRNAME)
+            os.makedirs(out, exist_ok=True)
+            num_pass = len(binvec_rows)
+            denom = binvec_sum - np.float32(num_pass)
+            idxs = np.array([r for r, _ in binvec_rows], dtype=np.int32)
+            pcts = np.array(
+                [
+                    (p - np.float32(1)) * np.float32(100) / denom
+                    for _, p in binvec_rows
+                ],
+                dtype=np.float32,
+            )
+            fname = os.path.basename(qry_stat.names[qn]) + ".abv"
+            formats.write_abv(os.path.join(out, fname), idxs, pcts)
+    return "".join(lines)
+
+
+def index_abv(ref_dir: str) -> None:
+    """-i: build the inverted abundance matrix over <ref>/abundance_Vec
+    (index_abv, command_composite.c:317-387). Files are folded in sorted
+    name order (the reference uses readdir order — document accordingly)."""
+    abv_dir = os.path.join(ref_dir, BINVEC_DIRNAME)
+    ref_stat = formats.read_co_stat(ref_dir)
+    names = sorted(n for n in os.listdir(abv_dir) if n.endswith(".abv"))
+    per_species: list[list[tuple[int, np.float32]]] = [
+        [] for _ in range(ref_stat.infile_num)
+    ]
+    y_l2n = []
+    for fi, name in enumerate(names):
+        arr = formats.read_abv(os.path.join(abv_dir, name))
+        y_l2n.append(math.sqrt(float(np.sum(np.float64(arr["pct"]) ** 2))))
+        for ridx, pct in zip(arr["ref_idx"], arr["pct"]):
+            per_species[ridx].append((fi, pct))
+    base = os.path.join(ref_dir, BINVEC_DIRNAME)
+    with open(base + ".name", "w") as f:
+        for n in names:
+            f.write(n + "\n")
+    np.array(y_l2n, dtype="<f8").tofile(base + ".yl2n")
+    rows = [r for sp in per_species for r in sp]
+    formats.write_abv(
+        base + ".abm",
+        np.array([r[0] for r in rows], dtype=np.int32),
+        np.array([r[1] for r in rows], dtype=np.float32),
+    )
+    counts = np.array([len(sp) for sp in per_species], dtype=np.int64)
+    np.cumsum(counts).astype("<i4").tofile(base + ".abmi")
+
+
+def abv_search(ref_dir: str, queries: list[str], mode: int) -> str:
+    """-s 0|1|2: cosine / L1 / L2 search of query .abv against the indexed
+    matrix (abv_search, command_composite.c:206-316); returns the report."""
+    base = os.path.join(ref_dir, BINVEC_DIRNAME)
+    with open(base + ".name") as f:
+        names = [ln.rstrip("\n") for ln in f if ln.strip()]
+    y_l2n = np.fromfile(base + ".yl2n", dtype="<f8", count=len(names))
+    abm_idx = np.fromfile(base + ".abmi", dtype="<i4")
+    abm = formats.read_abv(base + ".abm")
+    out = []
+    for qpath in queries:
+        if not qpath.endswith(".abv"):
+            out.append(f"argument {qpath} is not a .abv file, skipped\n")
+            continue
+        if "/" not in qpath:
+            qpath = os.path.join(base, qpath)
+        q = formats.read_abv(qpath)
+        measure = {}
+        xny = {}
+        xl2n = np.float32(0)
+        order_first_seen: list[int] = []
+        for d in range(len(q)):
+            ridx = int(q["ref_idx"][d])
+            xpct = np.float32(q["pct"][d])
+            xl2n += xpct * xpct
+            lo = int(abm_idx[ridx - 1]) if ridx > 0 else 0
+            hi = int(abm_idx[ridx])
+            for j in range(lo, hi):
+                fid = int(abm["ref_idx"][j])
+                ypct = np.float32(abm["pct"][j])
+                if fid not in measure:
+                    measure[fid] = np.float32(0)
+                    xny[fid] = [np.float32(0), np.float32(0)]
+                    order_first_seen.append(fid)
+                if mode == 1:
+                    measure[fid] += np.float32(abs(float(ypct) - float(xpct)))
+                    xny[fid][0] += xpct
+                    xny[fid][1] += ypct
+                elif mode == 2:
+                    measure[fid] += (ypct - xpct) * (ypct - xpct)
+                else:
+                    measure[fid] += ypct * xpct
+        if mode == 0:
+            for fid in order_first_seen:
+                measure[fid] = np.float32(
+                    float(measure[fid]) / (math.sqrt(float(xl2n)) * y_l2n[fid])
+                )
+        out.append("#Sample\t")
+        if mode == 1:
+            for fid in order_first_seen:
+                measure[fid] += np.float32(
+                    2 * 100 - float(xny[fid][0]) - float(xny[fid][1])
+                )
+            ranked = sorted(order_first_seen, key=lambda f: float(measure[f]))
+            out.append("L1norm\n")
+            for fid in ranked:
+                out.append(f"{names[fid]}\t{float(measure[fid]):.6f}\n")
+        elif mode == 2:
+            ranked = sorted(order_first_seen, key=lambda f: float(measure[f]))
+            out.append("L2norm\n")
+            for fid in ranked:
+                out.append(f"{names[fid]}\t{math.sqrt(float(measure[fid])):.6f}\n")
+        else:
+            ranked = sorted(order_first_seen, key=lambda f: float(measure[f]))
+            out.append("CosineXY\n")
+            for fid in reversed(ranked):
+                out.append(f"{names[fid]}\t{float(measure[fid]):.6f}\n")
+    return "".join(out)
+
+
+def read_abv_text(paths: list[str]) -> str:
+    """-d: dump .abv files (read_abv, command_composite.c:184-203)."""
+    out = []
+    for p in paths:
+        if not p.endswith(".abv"):
+            out.append(f"argument {p} is not a .abv file, skipped\n")
+            continue
+        arr = formats.read_abv(p)
+        for row in arr:
+            out.append(f"{int(row['ref_idx'])}\t{float(row['pct']):f}\n")
+    return "".join(out)
+
+
+def cmd_composite(args) -> int:
+    if args.refdir:
+        if args.qrydir:
+            report = species_abundance(
+                args.refdir,
+                args.qrydir,
+                out_dir=args.outdir if len(args.outdir) >= 3 else None,
+                binvec=args.binvec,
+            )
+            print(report, end="")
+            return 0
+        if args.idxbv:
+            index_abv(args.refdir)
+            return 0
+        if args.searchbv != -1:
+            if 0 <= args.searchbv < 3 and args.remaining:
+                print(abv_search(args.refdir, args.remaining, args.searchbv), end="")
+                return 0
+            print("Usage: kssd_tpu composite -r <ref> -s <0|1|2> <query.abv>")
+            return 1
+        print("Usage: kssd_tpu composite -r <ref> < mode: -q | -i | -s >")
+        return 1
+    if args.readabv:
+        print(read_abv_text(args.remaining), end="")
+        return 0
+    print("Usage: kssd_tpu composite -r <ref> < mode: -q | -i | -s >")
+    return -1

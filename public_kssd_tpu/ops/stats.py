@@ -66,10 +66,10 @@ def fmt_double(x: float, spec: str) -> str:
 
 
 def _get_metric_arg(metric: Metric, m: float) -> float:
-    """GET_MATRIC macro (command_dist.c:1251): the log argument."""
+    """GET_MATRIC macro (command_dist.c:1251): the log argument.
+    nan (with sign) propagates through like C doubles."""
     if metric == Metric.JACCARD:
-        with np.errstate(divide="ignore"):
-            return 1.0 / (2.0 * m) + 0.5 if m != 0 else math.inf
+        return 1.0 / (2.0 * m) + 0.5 if m != 0 else math.inf
     return 1.0 / m if m != 0 else math.inf
 
 
@@ -116,7 +116,7 @@ def format_pair_line(
     ]
     if opts.fields > Fields.DIST:
         var = m * (1 - m) / denom
-        sd = math.sqrt(var) if var >= 0 else math.nan  # C pow(var, 0.5)
+        sd = math.sqrt(var) if var >= 0 else _NEG_NAN  # glibc pow(neg, 0.5) = -nan
         q = _c_div(m, sd)  # C double division: x/0 = +/-inf, 0/0 = -nan (SSE)
         # glibc erfc and IEEE multiply propagate the nan operand unchanged,
         # so 0.5*erfc(-nan * c) stays -nan and prints "-NAN" under %E

@@ -195,11 +195,17 @@ def _run_stage1_byread(
     all_counts: list[list[np.ndarray]] = [[] for _ in range(cnum)]
     total_reads = 0
     for path in input_files:
-        raw = seqio.read_bytes(path, opts.pipecmd)
-        if infiles.is_fastq(path) or bool(opts.pipecmd):
-            reads = seqio.fastq_to_reads(raw, min_qual=opts.min_qual)
+        # reads2mco reads the file RAW (no zcat) unless -P is given
+        # (iseq2comem.c:96-101) — compressed inputs need an explicit
+        # pipecmd, exactly like the reference
+        if opts.pipecmd:
+            raw = seqio.read_bytes(path, opts.pipecmd)
         else:
-            reads = seqio.fasta_to_reads(raw)
+            with open(path, "rb") as f:
+                raw = f.read()
+        # reads2mco is fasta-shaped regardless of input format
+        # (iseq2comem.c:78-186): records split at active '>' bytes
+        reads = seqio.fasta_to_reads(raw)
         codes, read_id = sketch_ops.sketch_codes_reads(reads, shuffled_dim_dev, params)
         ids = (codes >> np.uint64(params.comp_code_bits)).astype(np.uint32)
         comp = (
@@ -222,8 +228,9 @@ def _run_stage1_byread(
         counts = (
             np.concatenate(all_counts[c]) if all_counts[c] else np.zeros(0, np.uint64)
         )
-        index = np.zeros(counts.size + 1, dtype=np.uint64)
-        np.cumsum(counts, out=index[1:])
+        # inclusive cumsum: reads2mco writes the running total after every
+        # record including record 0 (iseq2comem.c:175-180)
+        index = np.cumsum(counts).astype(np.uint64)
         formats.write_combco(out_dir, c, blob, index)
         ctx_ct += counts.astype(np.uint32)
 

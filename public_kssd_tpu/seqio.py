@@ -150,15 +150,46 @@ def fastq_to_reads(raw: bytes, min_qual: int = 0) -> list[np.ndarray]:
 
 
 def fasta_to_reads(raw: bytes) -> list[np.ndarray]:
-    """Per-record symbol arrays for fasta (--byread, reads2mco
-    iseq2comem.c:78-186: one row per '>' record)."""
+    """Per-record symbol arrays for --byread (reads2mco,
+    iseq2comem.c:78-186).
+
+    The reference's byread scanner is fasta-shaped regardless of the
+    input format: every '>' that reaches the state machine (i.e. not
+    consumed by a previous header's skip-to-newline loop) starts a new
+    record, and the stream before the first '>' is record 0. We
+    replicate that exactly, including the pseudo-records a fastq input
+    produces when '>' bytes appear in quality strings.
+    """
     buf = np.frombuffer(raw, dtype=np.uint8)
-    starts = np.flatnonzero(buf == ord(">"))
+    gt = np.flatnonzero(buf == ord(">"))
+    nl = np.flatnonzero(buf == ord("\n"))
+    # greedy active-header intervals [start, end_of_line]
+    spans = []  # (header_start, header_end_incl)
+    pos = -1
+    for g in gt.tolist():
+        if g <= pos:
+            continue  # consumed by the previous header's skip loop
+        j = np.searchsorted(nl, g)
+        end = int(nl[j]) if j < nl.size else buf.size - 1
+        spans.append((g, end))
+        pos = end
+    starts = [0] + [e + 1 for _, e in spans]
+    ends = [s for s, _ in spans] + [buf.size]
     reads = []
-    for i, s in enumerate(starts):
-        e = starts[i + 1] if i + 1 < starts.size else buf.size
-        reads.append(fasta_to_codes(bytes(buf[s:e])))
+    for s, e in zip(starts, ends):
+        reads.append(_plain_to_codes(buf[s:e]))
     return reads
+
+
+def _plain_to_codes(buf: np.ndarray) -> np.ndarray:
+    """Header-free fasta char rules: base -> code, newline -> skip,
+    anything else -> BREAK."""
+    if buf.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    newline = (buf == ord("\n")) | (buf == ord("\r"))
+    codes = _BASEMAP[buf]
+    sym = np.where(codes != 255, codes, BREAK)[~newline]
+    return _collapse_breaks(sym)
 
 
 def _collapse_breaks(sym: np.ndarray) -> np.ndarray:
