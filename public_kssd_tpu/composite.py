@@ -138,7 +138,7 @@ def index_abv(ref_dir: str) -> None:
     y_l2n = []
     for fi, name in enumerate(names):
         arr = formats.read_abv(os.path.join(abv_dir, name))
-        y_l2n.append(math.sqrt(float(np.sum(np.float64(arr["pct"]) ** 2))))
+        y_l2n.append(math.sqrt(float(np.sum(arr["pct"].astype(np.float64) ** 2))))
         for ridx, pct in zip(arr["ref_idx"], arr["pct"]):
             per_species[ridx].append((fi, pct))
     base = os.path.join(ref_dir, BINVEC_DIRNAME)
