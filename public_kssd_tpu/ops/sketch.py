@@ -35,13 +35,13 @@ from public_kssd_tpu.config import SketchParams
 from public_kssd_tpu.seqio import BREAK
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def sketch_windows(
+def sketch_windows_math(
     symbols: jax.Array,  # uint8 [N] base codes 0..3 or BREAK(4)
     shuffled_dim: jax.Array,  # int32 [16^s]
     params: SketchParams,
 ) -> tuple[jax.Array, jax.Array]:
-    """Return (drtuple uint64 [M], keep bool [M]) for all M = N-W+1 windows.
+    """Trace-level kernel body (callable inside jit/shard_map/vmap):
+    (drtuple uint64 [M], keep bool [M]) for all M = N-W+1 windows.
 
     ``drtuple`` entries where ``keep`` is False are arbitrary; callers
     compact with the mask. Order of windows == sequence order, matching the
@@ -90,42 +90,132 @@ def sketch_windows(
     return drtuple, keep
 
 
-def sketch_codes_host(
+@functools.partial(jax.jit, static_argnames=("params",))
+def sketch_windows(symbols, shuffled_dim, params: SketchParams):
+    """jit entry point over sketch_windows_math."""
+    return sketch_windows_math(symbols, shuffled_dim, params)
+
+
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # drtuple is <= 60 bits
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cap"))
+def sketch_windows_compact(symbols, shuffled_dim, params: SketchParams, cap: int):
+    """Kernel + on-device compaction: (codes uint64 [cap], pos int32 [cap]).
+
+    Only ~N/16^drlevel windows survive the shuffled-space filter, so
+    returning the dense per-window arrays wastes device->host bandwidth
+    (each roundtrip costs ~30 ms through a remote-device tunnel); this
+    variant gathers survivors (in sequence order) plus their window start
+    positions into fixed ``cap``-sized sentinel-padded buffers — ONE
+    small fetch per call, no separate count fetch. A full buffer (no
+    sentinel present) signals possible overflow — the host retries with a
+    larger capacity (the static-shape analog of the reference's
+    hash-overflow rerun, iseq2comem.c:262-263).
+    """
+    drtuple, keep = sketch_windows_math(symbols, shuffled_dim, params)
+    m = drtuple.shape[0]
+    idx = jnp.nonzero(keep, size=cap, fill_value=m)[0]
+    in_range = idx < m
+    codes = jnp.where(
+        in_range, drtuple[jnp.minimum(idx, m - 1)], SENTINEL
+    )
+    pos = jnp.where(in_range, idx, -1).astype(jnp.int32)
+    return codes, pos
+
+
+def sketch_codes_stream(
     symbols: np.ndarray,
     shuffled_dim,
     params: SketchParams,
-    block: int = 1 << 22,
-) -> np.ndarray:
-    """Host wrapper: stream a symbol array through the device kernel in
-    fixed-size blocks (static shapes for XLA) and return kept drtuples in
-    sequence order as uint64 numpy.
+    block: int = 1 << 23,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stream a symbol array through the device kernel in fixed-size
+    blocks; returns (codes uint64, window start positions int64), both in
+    sequence order.
 
     Blocks overlap by W-1 symbols so every window is seen exactly once —
-    the chunked-sequence streaming described in SURVEY.md §5.
+    the chunked-sequence streaming described in SURVEY.md §5. Blocks pad
+    to power-of-two buckets (bounded distinct compilations); survivor
+    buffers are sentinel-padded so each block costs one dispatch + one
+    small fetch.
     """
     W = params.TL
     n = symbols.size
+    out_codes: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
     if n < W:
-        return np.zeros(0, dtype=np.uint64)
-    out: list[np.ndarray] = []
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     start = 0
     while start + W - 1 < n:
         end = min(start + block, n)
         chunk = symbols[start:end]
         if chunk.size < block:
-            # pad with BREAKs to a power-of-two bucket: static shapes,
-            # bounded number of distinct compilations
             bucket = max(4096, 1 << (chunk.size - 1).bit_length())
             pad = np.full(bucket - chunk.size, BREAK, dtype=np.uint8)
             chunk = np.concatenate([chunk, pad])
-        dr, keep = sketch_windows(jnp.asarray(chunk), shuffled_dim, params)
-        dr = np.asarray(dr)
-        keep = np.asarray(keep)
-        out.append(dr[keep])
+        # expected survivors = m/16^drlevel; 4x headroom, pow2 buckets
+        exp = chunk.size >> (4 * params.drlevel)
+        cap = max(4096, 1 << (4 * max(exp, 1) - 1).bit_length())
+        chunk_dev = jnp.asarray(chunk)
+        while True:
+            codes, pos = sketch_windows_compact(
+                chunk_dev, shuffled_dim, params, cap
+            )
+            both = np.asarray(
+                jnp.concatenate([codes, pos.astype(jnp.uint64)])
+            )  # single fetch
+            codes_np = both[:cap]
+            pos_np = both[cap:].astype(np.int64)
+            k = int((codes_np != SENTINEL).sum())
+            if k < cap:
+                break
+            cap *= 4  # possibly overflowed: retry with headroom
+        keep = codes_np != SENTINEL
+        out_codes.append(codes_np[keep])
+        out_pos.append(pos_np[keep] + start)
         start = end - (W - 1)
-    if not out:
-        return np.zeros(0, dtype=np.uint64)
-    return np.concatenate(out)
+    if not out_codes:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    return np.concatenate(out_codes), np.concatenate(out_pos)
+
+
+def sketch_codes_host(
+    symbols: np.ndarray,
+    shuffled_dim,
+    params: SketchParams,
+    block: int = 1 << 23,
+) -> np.ndarray:
+    """Kept drtuples of one symbol stream, in sequence order."""
+    codes, _ = sketch_codes_stream(symbols, shuffled_dim, params, block)
+    return codes
+
+
+def sketch_codes_multi(
+    streams: list[np.ndarray],
+    shuffled_dim,
+    params: SketchParams,
+    block: int = 1 << 23,
+) -> list[np.ndarray]:
+    """Sketch MANY symbol streams in one concatenated device pass.
+
+    Streams are joined with BREAK separators; kept codes are attributed
+    back to their stream by window position. This amortises the ~30 ms
+    per-roundtrip device latency over a whole batch of genomes.
+    """
+    if not streams:
+        return []
+    brk = np.array([BREAK], dtype=np.uint8)
+    pieces = []
+    bounds = np.zeros(len(streams) + 1, dtype=np.int64)
+    for i, s in enumerate(streams):
+        pieces.append(s)
+        pieces.append(brk)
+        bounds[i + 1] = bounds[i] + s.size + 1
+    sym = np.concatenate(pieces)
+    codes, pos = sketch_codes_stream(sym, shuffled_dim, params, block)
+    sid = np.searchsorted(bounds, pos, side="right") - 1
+    return [codes[sid == i] for i in range(len(streams))]
 
 
 def sketch_codes_reads(
@@ -144,18 +234,13 @@ def sketch_codes_reads(
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     brk = np.array([BREAK], dtype=np.uint8)
     pieces = []
-    bounds = [0]
-    for r in reads:
+    bounds = np.zeros(len(reads) + 1, dtype=np.int64)
+    for i, r in enumerate(reads):
         pieces.append(r)
         pieces.append(brk)
-        bounds.append(bounds[-1] + r.size + 1)
+        bounds[i + 1] = bounds[i] + r.size + 1
     symbols = np.concatenate(pieces)
-    W = params.TL
-    dr, keep = sketch_windows(jnp.asarray(symbols), jnp.asarray(shuffled_dim), params)
-    dr = np.asarray(dr)
-    keep = np.asarray(keep)
-    kept_pos = np.flatnonzero(keep)
-    codes = dr[kept_pos]
+    codes, pos = sketch_codes_stream(symbols, shuffled_dim, params)
     # window starting at p belongs to the read whose span contains p
-    read_id = np.searchsorted(np.asarray(bounds), kept_pos, side="right") - 1
+    read_id = np.searchsorted(bounds, pos, side="right") - 1
     return codes, read_id

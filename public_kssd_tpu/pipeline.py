@@ -47,28 +47,28 @@ class SketchOptions:
     compat_order: bool = True
 
 
-def sketch_one(
+def parse_one(path: str, opts: SketchOptions) -> np.ndarray:
+    """Host parse of one input file into a symbol stream."""
+    raw = seqio.read_bytes(path, opts.pipecmd)
+    if infiles.is_fastq(path) or bool(opts.pipecmd):
+        if opts.abundance:
+            # mt_shortreads2koc (iseq2comem.c:552-615): no quality filter
+            return seqio.fastq_to_codes(raw, min_qual=0)
+        return seqio.fastq_to_codes(raw, min_qual=opts.min_qual)
+    return seqio.fasta_to_codes(raw)
+
+
+def dedup_one(
     path: str,
-    shuffled_dim_dev,
+    kept: np.ndarray,
     params: SketchParams,
     opts: SketchOptions,
 ) -> tuple[np.ndarray, np.ndarray | None]:
-    """Sketch one input file -> (codes uint64, abundances uint16|None).
+    """Dedup one file's kept-code stream -> (codes, abundances|None).
 
     Code order matches the reference writers when opts.compat_order.
     """
-    raw = seqio.read_bytes(path, opts.pipecmd)
     is_fastq = infiles.is_fastq(path) or bool(opts.pipecmd)
-    if is_fastq:
-        if opts.abundance:
-            # mt_shortreads2koc (iseq2comem.c:552-615): no quality filter
-            symbols = seqio.fastq_to_codes(raw, min_qual=0)
-        else:
-            symbols = seqio.fastq_to_codes(raw, min_qual=opts.min_qual)
-    else:
-        symbols = seqio.fasta_to_codes(raw)
-    kept = sketch_ops.sketch_codes_host(symbols, shuffled_dim_dev, params)
-
     if is_fastq:
         if opts.abundance:
             if opts.compat_order:
@@ -135,22 +135,37 @@ def run_stage1(
     per_comp_sizes: list[list[int]] = [[] for _ in range(cnum)]
     ctx_ct = np.zeros(len(input_files), dtype=np.uint32)
     koc = False
-    for i, path in enumerate(input_files):
-        codes, abund = sketch_one(path, shuffled_dim_dev, params, opts)
-        koc = koc or abund is not None
-        ctx_ct[i] = codes.size
-        comp_ids = split_components(codes, params)
-        if abund is not None:
-            comp_mask = (
-                (codes % np.uint64(cnum)).astype(np.int64)
-                if cnum > 1
-                else np.zeros(codes.size, np.int64)
-            )
-        for c in range(cnum):
-            per_comp_codes[c].append(comp_ids[c])
-            per_comp_sizes[c].append(comp_ids[c].size)
+    # batch files through the device in ~64 MB symbol groups: one
+    # concatenated kernel pass per group amortises device roundtrips
+    group_budget = 64 << 20
+    i = 0
+    while i < len(input_files):
+        group = []
+        used = 0
+        while i < len(input_files) and (not group or used < group_budget):
+            sym = parse_one(input_files[i], opts)
+            group.append((i, input_files[i], sym))
+            used += sym.size
+            i += 1
+        kept_lists = sketch_ops.sketch_codes_multi(
+            [g[2] for g in group], shuffled_dim_dev, params
+        )
+        for (gi, path, _), kept in zip(group, kept_lists):
+            codes, abund = dedup_one(path, kept, params, opts)
+            koc = koc or abund is not None
+            ctx_ct[gi] = codes.size
+            comp_ids = split_components(codes, params)
             if abund is not None:
-                per_comp_abund[c].append(abund[comp_mask == c])
+                comp_mask = (
+                    (codes % np.uint64(cnum)).astype(np.int64)
+                    if cnum > 1
+                    else np.zeros(codes.size, np.int64)
+                )
+            for c in range(cnum):
+                per_comp_codes[c].append(comp_ids[c])
+                per_comp_sizes[c].append(comp_ids[c].size)
+                if abund is not None:
+                    per_comp_abund[c].append(abund[comp_mask == c])
 
     for c in range(cnum):
         blob = (

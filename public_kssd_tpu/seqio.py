@@ -91,20 +91,11 @@ def fasta_to_codes(raw: bytes) -> np.ndarray:
 
     codes = _BASEMAP[buf]
     is_base = codes != 255
-    # symbol classes outside headers:
-    #   base -> code; newline -> drop; everything else -> BREAK
-    keep = ~in_header & ~newline
-    sym = np.where(is_base, codes, BREAK)[keep]
-    # a header itself is a reset (base=1 on '>', iseq2comem.c:236): emit one
-    # BREAK at each header start by construction — the '>' char is outside
-    # in_header? No: '>' starts the header. Insert explicit breaks:
-    out = sym
-    if gt.size:
-        # positions of '>' within the kept-symbol coordinate system
-        kept_pos = np.cumsum(keep) - 1  # index into `sym` for each raw pos
-        brk_at = kept_pos[gt] + 1  # break goes before the next kept symbol
-        out = np.insert(sym, np.clip(brk_at, 0, sym.size), BREAK)
-    return _collapse_breaks(out)
+    # symbol classes: base outside header -> code; newline -> drop;
+    # header chars and junk -> BREAK (runs collapse, so the whole header
+    # region becomes the single reset the reference performs on '>')
+    sym = np.where(is_base & ~in_header, codes, BREAK)[~newline]
+    return _collapse_breaks(sym)
 
 
 def fastq_to_codes(raw: bytes, min_qual: int = 0) -> np.ndarray:

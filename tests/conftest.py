@@ -39,7 +39,7 @@ import jax  # noqa: E402
 # amortise jit compiles across test processes
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.expanduser("~"), ".cache", "kssd_tpu_jax_cache"),
+    os.path.join(os.path.expanduser("~"), ".cache", "kssd_tpu_jax_cache_cpu"),
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
