@@ -51,8 +51,20 @@ def dedup_slot_order(
 
     uniq=True replicates uniq_fasta2co (iseq2comem.c:616-703): codes seen
     more than once are marked and dropped from the output (the ``-u``
-    reference-dedup mode).
+    reference-dedup mode). Uses the native library when available.
     """
+    from public_kssd_tpu import native
+
+    out = native.dedup_slot_order(codes, params.hashsize, params.hashlimit, uniq)
+    if out is not None:
+        return out
+    return dedup_slot_order_py(codes, params, uniq)
+
+
+def dedup_slot_order_py(
+    codes: np.ndarray, params: SketchParams, uniq: bool = False
+) -> np.ndarray:
+    """Pure-python implementation (fallback + test oracle)."""
     hashsize = params.hashsize
     table = np.zeros(hashsize, dtype=np.uint64)
     marked = np.zeros(hashsize, dtype=bool) if uniq else None
@@ -103,7 +115,22 @@ def dedup_counts_slot_order(
     params: SketchParams,
     count_bits: int,
     min_occurrence: int = 1,
-    saturate: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Counted dedup in slot order; native when available (see the
+    pure-python twin below for semantics)."""
+    from public_kssd_tpu import native
+
+    out = native.dedup_counts(codes, params.hashsize, count_bits, min_occurrence)
+    if out is not None:
+        return out
+    return dedup_counts_slot_order_py(codes, params, count_bits, min_occurrence)
+
+
+def dedup_counts_slot_order_py(
+    codes: np.ndarray,
+    params: SketchParams,
+    count_bits: int,
+    min_occurrence: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """fastq2co / fastq2koc-compatible dedup with occurrence counters.
 

@@ -1,0 +1,260 @@
+/* Native host helpers for public_kssd_tpu.
+ *
+ * The TPU owns the compute path (window extraction, filtering, counting);
+ * these C routines own the host-side streaming work the reference also
+ * does natively: byte-stream parsing/2-bit packing and the exact
+ * open-addressing dedup that reproduces the reference's on-disk code
+ * order (HASH/H1/H2, global_basic.h:228-230).
+ *
+ * Built as a shared library, bound with ctypes (no pybind11 dependency).
+ *
+ * Symbol stream contract (see seqio.py): 0..3 = ACGT code, 4 = BREAK.
+ * Runs of BREAK are collapsed, boundary BREAKs trimmed.
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+#define BREAK 4
+#define SENT_EMPTY 0xFFFFFFFFFFFFFFFFULL
+
+static const int8_t BASEMAP[256] = {
+    [0 ... 255] = -1,
+    ['A'] = 0, ['a'] = 0, ['C'] = 1, ['c'] = 1,
+    ['G'] = 2, ['g'] = 2, ['T'] = 3, ['t'] = 3,
+};
+
+/* fasta byte stream -> symbol stream; returns output length.
+ * out must have capacity n. Mirrors the reference scanner
+ * (fasta2co, iseq2comem.c:205-270): header '>'..'\n' skipped + reset,
+ * newlines skipped, other alpha/junk reset. */
+size_t kssd_fasta_to_codes(const uint8_t *data, size_t n, uint8_t *out)
+{
+    size_t o = 0;
+    int in_header = 0;
+    int last_break = 1; /* suppress leading BREAK */
+    for (size_t i = 0; i < n; i++) {
+        uint8_t ch = data[i];
+        if (in_header) {
+            if (ch == '\n')
+                in_header = 0;
+            continue;
+        }
+        int8_t b = BASEMAP[ch];
+        if (b >= 0) {
+            out[o++] = (uint8_t)b;
+            last_break = 0;
+        } else if (ch == '\n' || ch == '\r') {
+            continue;
+        } else if (ch == '>') {
+            in_header = 1;
+            if (!last_break) { out[o++] = BREAK; last_break = 1; }
+        } else {
+            if (!last_break) { out[o++] = BREAK; last_break = 1; }
+        }
+    }
+    while (o > 0 && out[o - 1] == BREAK)
+        o--;
+    return o;
+}
+
+/* fastq byte stream -> symbol stream (fastq2co, iseq2comem.c:277-356):
+ * record = 4 lines, seq = line 2, qual = line 4; base valid iff
+ * Basemap-valid AND raw quality byte >= min_qual; read boundary = BREAK.
+ * Trailing partial records are dropped (fgets-at-EOF semantics). */
+size_t kssd_fastq_to_codes(const uint8_t *data, size_t n, int min_qual,
+                           uint8_t *out)
+{
+    size_t o = 0;
+    int last_break = 1;
+    size_t i = 0;
+    while (i < n) {
+        /* locate the 4 lines of this record */
+        size_t ls[4], le[4];
+        int ok = 1;
+        for (int l = 0; l < 4; l++) {
+            ls[l] = i;
+            while (i < n && data[i] != '\n')
+                i++;
+            le[l] = i;
+            if (i < n)
+                i++; /* skip newline */
+            else if (l < 3) {
+                ok = 0;
+                break;
+            }
+        }
+        if (!ok)
+            break;
+        size_t slen = le[1] - ls[1];
+        size_t qlen = le[3] - ls[3];
+        const uint8_t *seq = data + ls[1];
+        const uint8_t *qual = data + ls[3];
+        size_t m = slen;
+        if (min_qual > 0 && qlen < m)
+            m = qlen;
+        for (size_t p = 0; p < m; p++) {
+            int8_t b = BASEMAP[seq[p]];
+            if (b >= 0 && (min_qual <= 0 || qual[p] >= (uint8_t)min_qual)) {
+                out[o++] = (uint8_t)b;
+                last_break = 0;
+            } else if (!last_break) {
+                out[o++] = BREAK;
+                last_break = 1;
+            }
+        }
+        if (!last_break) { out[o++] = BREAK; last_break = 1; }
+    }
+    while (o > 0 && out[o - 1] == BREAK)
+        o--;
+    return o;
+}
+
+/* ------------------------------------------------------------------ */
+/* Exact reference dedup: open-addressing double hash, slot-order dump */
+/* ------------------------------------------------------------------ */
+
+/* fasta2co-style set dedup. table: caller-provided zeroed uint64[hashsize].
+ * uniq != 0 replicates uniq_fasta2co (-u): codes seen >1 times marked via
+ * the high bit and skipped on output (iseq2comem.c:616-703).
+ * Returns the number of output codes written to out (capacity hashsize);
+ * returns (size_t)-1 on "space too crowded" (keycount > hashlimit). */
+size_t kssd_dedup_slot_order(const uint64_t *codes, size_t n,
+                             uint64_t *table, uint32_t hashsize,
+                             uint32_t hashlimit, int uniq, uint64_t *out)
+{
+#define HIBIT 0x8000000000000000ULL
+    uint64_t keycount = 0;
+    for (size_t i = 0; i < n; i++) {
+        uint64_t c = codes[i];
+        if (c == 0) { /* quirk: re-counted every occurrence, never stored */
+            if (++keycount > hashlimit)
+                return (size_t)-1;
+            continue;
+        }
+        uint32_t h1 = (uint32_t)(c % hashsize);
+        uint32_t h2 = 1 + (uint32_t)(c % (hashsize - 1));
+        uint32_t s = h1;
+        for (;;) {
+            uint64_t v = table[s];
+            if (v == 0) {
+                table[s] = c;
+                if (++keycount > hashlimit)
+                    return (size_t)-1;
+                break;
+            }
+            if ((v | HIBIT) == (c | HIBIT)) {
+                if (uniq)
+                    table[s] = v | HIBIT;
+                break;
+            }
+            s += h2;
+            if (s >= hashsize)
+                s -= hashsize;
+        }
+    }
+    size_t o = 0;
+    for (uint32_t s = 0; s < hashsize; s++) {
+        uint64_t v = table[s];
+        if (v != 0 && v < HIBIT)
+            out[o++] = v;
+    }
+    return o;
+}
+
+/* fastq2co / fastq2koc-style counted dedup.
+ * count_bits = 4  -> fastq2co: output only codes whose counter saturated
+ *                    (count reached min_occurrence then pinned to 15)
+ * count_bits = 16 -> fastq2koc: output all codes with counters
+ * table: zeroed uint64[hashsize], slot holds key<<count_bits|count.
+ * Returns output length; out_codes/out_counts capacity hashsize. */
+size_t kssd_dedup_counts(const uint64_t *codes, size_t n,
+                         uint64_t *table, uint32_t hashsize,
+                         int count_bits, int min_occurrence,
+                         uint64_t *out_codes, uint32_t *out_counts)
+{
+    const uint64_t ct_max = (1ULL << count_bits) - 1;
+    const uint64_t occupied_bit = 1ULL << 63; /* key 0 must look occupied */
+    /* We cannot use slot==0 as empty marker: key 0 with count 0 never
+     * happens in the reference either ((drtuple<<bits)+1 != 0), so the
+     * reference's slot==0 test is safe; replicate directly. */
+    for (size_t i = 0; i < n; i++) {
+        uint64_t c = codes[i];
+        uint32_t h1 = (uint32_t)(c % hashsize);
+        uint32_t h2 = 1 + (uint32_t)(c % (hashsize - 1));
+        uint32_t s = h1;
+        for (;;) {
+            uint64_t v = table[s];
+            if (v == 0) {
+                if (count_bits == 4 && min_occurrence == 1)
+                    table[s] = (c << 4) | ct_max; /* iseq2comem.c:336 */
+                else
+                    table[s] = (c << count_bits) + 1;
+                break;
+            }
+            if ((v >> count_bits) == c) {
+                uint64_t cnt = v & ct_max;
+                if (count_bits == 4) {
+                    if (cnt != ct_max) {
+                        v += 1;
+                        if (!(((v & ct_max)) < (uint64_t)min_occurrence))
+                            v |= ct_max;
+                        table[s] = v;
+                    }
+                } else {
+                    if (cnt < ct_max)
+                        table[s] = v + 1;
+                }
+                break;
+            }
+            s += h2;
+            if (s >= hashsize)
+                s -= hashsize;
+        }
+    }
+    size_t o = 0;
+    const uint64_t pass4 = (1ULL << 4) - 1;
+    for (uint32_t s = 0; s < hashsize; s++) {
+        uint64_t v = table[s];
+        if (v == 0)
+            continue;
+        if (count_bits == 4 && (v & pass4) != pass4)
+            continue;
+        out_codes[o] = v >> count_bits;
+        out_counts[o] = (uint32_t)(v & ct_max);
+        o++;
+    }
+    (void)occupied_bit;
+    return o;
+}
+
+/* grouping_genomes per-taxon uint32 dedup (command_set.c:737-775):
+ * probes on the 32-bit code, code 0 dropped, slot-order output. */
+size_t kssd_dedup_u32_slot_order(const uint32_t *codes, size_t n,
+                                 uint32_t *table, uint32_t hashsize,
+                                 uint32_t *out)
+{
+    for (size_t i = 0; i < n; i++) {
+        uint32_t c = codes[i];
+        if (c == 0)
+            continue;
+        uint32_t h1 = c % hashsize;
+        uint32_t h2 = 1 + c % (hashsize - 1);
+        uint32_t s = h1;
+        uint32_t probes = 0;
+        for (; probes < hashsize; probes++) {
+            uint32_t v = table[s];
+            if (v == 0) { table[s] = c; break; }
+            if (v == c) break;
+            s += h2;
+            if (s >= hashsize)
+                s -= hashsize;
+        }
+    }
+    size_t o = 0;
+    for (uint32_t s = 0; s < hashsize; s++)
+        if (table[s] != 0)
+            out[o++] = table[s];
+    return o;
+}

@@ -65,8 +65,19 @@ def fasta_to_codes(raw: bytes) -> np.ndarray:
     """Parse a fasta byte stream into a code/BREAK symbol array.
 
     Consecutive BREAKs are collapsed; leading/trailing BREAKs trimmed —
-    neither affects which windows are valid.
+    neither affects which windows are valid. Uses the native C scanner
+    when available (public_kssd_tpu.native), numpy otherwise.
     """
+    from public_kssd_tpu import native
+
+    out = native.fasta_to_codes(raw)
+    if out is not None:
+        return out
+    return fasta_to_codes_py(raw)
+
+
+def fasta_to_codes_py(raw: bytes) -> np.ndarray:
+    """Vectorised numpy implementation (fallback + test oracle)."""
     buf = np.frombuffer(raw, dtype=np.uint8)
     if buf.size == 0:
         return np.zeros(0, dtype=np.uint8)
@@ -104,6 +115,16 @@ def fastq_to_codes(raw: bytes, min_qual: int = 0) -> np.ndarray:
     quality byte >= min_qual (the reference compares the raw ASCII byte,
     not phred-33). Read boundaries and invalid bases are BREAKs.
     """
+    from public_kssd_tpu import native
+
+    out = native.fastq_to_codes(raw, min_qual)
+    if out is not None:
+        return out
+    return fastq_to_codes_py(raw, min_qual)
+
+
+def fastq_to_codes_py(raw: bytes, min_qual: int = 0) -> np.ndarray:
+    """Pure-python implementation (fallback + test oracle)."""
     lines = raw.split(b"\n")
     pieces: list[np.ndarray] = []
     brk = np.array([BREAK], dtype=np.uint8)

@@ -242,6 +242,11 @@ def grouping_genomes(in_dir: str, taxfile: str, out_dir: str) -> None:
 def _hash_slot_order_u32(codes: np.ndarray, hashsize: int) -> np.ndarray:
     """Distinct uint32 codes in open-addressing slot order; code 0 is the
     empty marker and silently dropped (command_set.c:737-753)."""
+    from public_kssd_tpu import native
+
+    out = native.dedup_u32_slot_order(codes, hashsize)
+    if out is not None:
+        return out
     table = np.zeros(hashsize, dtype=np.uint32)
     seen = set()
     for c in codes.tolist():
