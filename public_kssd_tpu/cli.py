@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-compat-order", action="store_true",
                    help="fast device dedup; sketch files sorted, distances unchanged")
     p.add_argument("--cpu-count", action="store_true", help="count on host, not device")
+    p.add_argument("--shard", default="", metavar="I:N",
+                   help="sketch only shard I of N (multi-host stage I)")
+    p.add_argument("--merge-shards", action="store_true",
+                   help="merge a sharded sketch root (from --shard runs) into -o")
+    p.add_argument("--mesh", default="", metavar="DPxREF",
+                   help="search with a sharded device mesh, e.g. 2x4")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="write a jax profiler trace to DIR")
     p.add_argument("remaining", nargs="*", help="query files/dirs")
 
     p = sub.add_parser("set", help="sketch union/intersection/subtraction")
@@ -179,6 +187,14 @@ def _load_params(args):
 def _cmd_dist(args) -> int:
     from public_kssd_tpu import formats, index, infiles, pipeline, search
     from public_kssd_tpu.ops import stats as stats_ops
+    from public_kssd_tpu.utils import profile_trace
+
+    with profile_trace(args.profile or None):
+        return _cmd_dist_inner(args, formats, index, infiles, pipeline,
+                               search, stats_ops)
+
+
+def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) -> int:
 
     opts = pipeline.SketchOptions(
         abundance=args.abundance,
@@ -196,6 +212,25 @@ def _cmd_dist(args) -> int:
         max_dist=args.mut_dist_max,
         top_n=args.num_neigb,
     )
+
+    if args.merge_shards:
+        from public_kssd_tpu.parallel import distributed
+
+        distributed.merge_shards(args.remaining[0], args.outdir)
+        return 0
+    if args.shard:
+        from public_kssd_tpu.parallel import distributed
+
+        shard_id, n_shards = (int(x) for x in args.shard.split(":"))
+        if args.fpath:
+            files = infiles.organize_infile_list(args.fpath)
+        else:
+            files = infiles.organize_infiles(args.remaining, fmt_ck=not args.pipecmd)
+        params, perm = _load_params(args)
+        distributed.sketch_shard(
+            files, args.outdir, params, perm, opts, shard_id, n_shards
+        )
+        return 0
 
     # --- reference side (command_dist.c:60-107) ---
     if args.refpath:
@@ -227,6 +262,17 @@ def _cmd_dist(args) -> int:
                     "search mode needs a sketched query dir: run "
                     "'kssd_tpu dist -L <shuf> -o <qdir> <seqs>' first"
                 )
+            mesh = None
+            if args.mesh:
+                import jax
+                import numpy as np
+                from jax.sharding import Mesh
+
+                dp, ref = (int(x) for x in args.mesh.lower().split("x"))
+                mesh = Mesh(
+                    np.array(jax.devices()[: dp * ref]).reshape(dp, ref),
+                    ("dp", "ref"),
+                )
             search.search(
                 args.refpath,
                 qry,
@@ -235,6 +281,8 @@ def _cmd_dist(args) -> int:
                 use_device=not args.cpu_count,
                 keep_shared_kmer=args.keepskf,
                 shared_kmer_path=args.skf or None,
+                mesh=mesh,
+                component_sz=args.component_sz,
             )
             return 0
         if qry_is_co:

@@ -124,6 +124,18 @@ def sketch_windows_compact(symbols, shuffled_dim, params: SketchParams, cap: int
     return codes, pos
 
 
+@functools.partial(jax.jit, static_argnames=("params", "cap"))
+def sketch_windows_compact_fused(symbols, shuffled_dim, params, cap: int):
+    """Like sketch_windows_compact but returns ONE uint64 [2*cap] array
+    (codes ++ positions) — a single device buffer to fetch, and no eager
+    ops on the host side (each eager dispatch through a remote-device
+    tunnel costs hundreds of ms)."""
+    codes, pos = sketch_windows_compact.__wrapped__(
+        symbols, shuffled_dim, params, cap
+    )
+    return jnp.concatenate([codes, pos.astype(jnp.int64).astype(jnp.uint64)])
+
+
 def sketch_codes_stream(
     symbols: np.ndarray,
     shuffled_dim,
@@ -142,10 +154,11 @@ def sketch_codes_stream(
     """
     W = params.TL
     n = symbols.size
-    out_codes: list[np.ndarray] = []
-    out_pos: list[np.ndarray] = []
     if n < W:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    # phase 1: enqueue every block (jax dispatch is async — uploads,
+    # kernels and result staging overlap across blocks)
+    pending = []  # (start, cap, chunk_dev, result_dev)
     start = 0
     while start + W - 1 < n:
         end = min(start + block, n)
@@ -158,23 +171,26 @@ def sketch_codes_stream(
         exp = chunk.size >> (4 * params.drlevel)
         cap = max(4096, 1 << (4 * max(exp, 1) - 1).bit_length())
         chunk_dev = jnp.asarray(chunk)
-        while True:
-            codes, pos = sketch_windows_compact(
-                chunk_dev, shuffled_dim, params, cap
-            )
+        both = sketch_windows_compact_fused(chunk_dev, shuffled_dim, params, cap)
+        pending.append((start, cap, chunk_dev, both))
+        start = end - (W - 1)
+    # phase 2: collect
+    out_codes: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    for start_, cap, chunk_dev, both_dev in pending:
+        both = np.asarray(both_dev)
+        codes_np = both[:cap]
+        pos_np = both[cap:].astype(np.int64)
+        while int((codes_np != SENTINEL).sum()) >= cap:
+            cap *= 4  # possibly overflowed: retry this block with headroom
             both = np.asarray(
-                jnp.concatenate([codes, pos.astype(jnp.uint64)])
-            )  # single fetch
+                sketch_windows_compact_fused(chunk_dev, shuffled_dim, params, cap)
+            )
             codes_np = both[:cap]
             pos_np = both[cap:].astype(np.int64)
-            k = int((codes_np != SENTINEL).sum())
-            if k < cap:
-                break
-            cap *= 4  # possibly overflowed: retry with headroom
         keep = codes_np != SENTINEL
         out_codes.append(codes_np[keep])
-        out_pos.append(pos_np[keep] + start)
-        start = end - (W - 1)
+        out_pos.append(pos_np[keep] + start_)
     if not out_codes:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     return np.concatenate(out_codes), np.concatenate(out_pos)

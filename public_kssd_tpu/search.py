@@ -44,12 +44,16 @@ def search(
     use_device: bool = True,
     keep_shared_kmer: bool = False,
     shared_kmer_path: str | None = None,
+    mesh=None,
+    component_sz: int = 7,
 ) -> str:
     """Full search -> ``<out_dir>/distance.out``; returns its path.
 
     ``shared_kmer_path`` (-f) skips counting and reprints statistics from
     a saved sharedk_ct.dat matrix; ``keep_shared_kmer`` (--keepskf)
-    retains the matrix file after printing.
+    retains the matrix file after printing. With ``mesh`` (a
+    jax.sharding.Mesh with axes dp/ref) counting runs DB-sharded across
+    devices with psum merging.
     """
     opts = opts or stats_ops.OutputOptions()
     mco_stat = formats.read_mco_stat(ref_dir)
@@ -71,7 +75,24 @@ def search(
         )
     else:
         _, comps = index_mod.load_sparse_index(ref_dir)
-        counts = compute_shared_counts(qry_dir, comps, qry_stat.infile_num, use_device)
+        if mesh is not None:
+            from public_kssd_tpu.config import SketchParams
+            from public_kssd_tpu.parallel import sharded_search
+
+            params = SketchParams(
+                id=mco_stat.params_id,
+                half_ctx_len=mco_stat.kmerlen // 2,
+                half_subctx_len=min(mco_stat.kmerlen // 2, 7),
+                drlevel=mco_stat.dim_rd_len // 2,
+                component_sz=component_sz,
+            )
+            counts = sharded_search.sharded_search_counts(
+                qry_dir, comps, params, mesh
+            )
+        else:
+            counts = compute_shared_counts(
+                qry_dir, comps, qry_stat.infile_num, use_device
+            )
         counts.astype("<u4").tofile(skf)
 
     out_path = os.path.join(out_dir, "distance.out")
