@@ -61,18 +61,23 @@ def main() -> None:
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
     )
 
-    from public_kssd_tpu import formats, hashdedup, seqio
+    from public_kssd_tpu import hashdedup, pipeline, shufspace
     from public_kssd_tpu.config import SketchParams
     from public_kssd_tpu.ops import sketch as sketch_ops
 
     params = SketchParams(id=1, half_ctx_len=10, half_subctx_len=6, drlevel=3)
-    shuffled_dim = formats.make_shuffled_dim(params, seed=5)
-    shuffled_dev = jnp.asarray(shuffled_dim)
+    # the framework's default shuffle space: computed Feistel permutation
+    # (gather-free sketch kernel; identical .shuf interop — shufspace.py)
+    shuffled_dev = shufspace.ComputedShuf(params.id, params.half_subctx_len)
 
     paths = _make_data()
 
+    parse_opts = pipeline.SketchOptions()
+
     def sketch_batch(batch: list[str]) -> int:
-        streams = [seqio.fasta_to_codes(seqio.read_bytes(p)) for p in batch]
+        streams = [
+            s for _, _, s in pipeline.parsed_streams(batch, parse_opts)
+        ]
         kept = sketch_ops.sketch_codes_multi(streams, shuffled_dev, params)
         return sum(hashdedup.dedup_sorted(k).size for k in kept)
 

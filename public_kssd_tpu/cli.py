@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-l", type=int, default=2, help="dim-reduction level [2]")
     p.add_argument("-o", default="./default", help="output file prefix")
     p.add_argument("--seed", type=int, default=None, help="RNG seed (reproducible)")
+    p.add_argument("--random-perm", action="store_true",
+                   help="Fisher-Yates table like the reference (the default "
+                   "is a computed Feistel permutation: identical .shuf "
+                   "format, gather-free TPU sketching)")
 
     p = sub.add_parser("dist", help="sketching and distance estimation")
     p.add_argument("-k", type=int, default=8, help="half k-mer length [8]")
@@ -131,7 +135,7 @@ def _dispatch(args) -> int:
 
 
 def _cmd_shuffle(args) -> int:
-    from public_kssd_tpu import formats
+    from public_kssd_tpu import formats, shufspace
     from public_kssd_tpu.config import MIN_SUBCTX_DIM_SMP_SZ, SketchParams
 
     if args.k < args.s:
@@ -146,7 +150,12 @@ def _cmd_shuffle(args) -> int:
             file=sys.stderr,
         )
     params = SketchParams.create(k=args.k, drlevel=args.l, subk=args.s, seed=args.seed)
-    perm = formats.make_shuffled_dim(params, seed=args.seed)
+    if args.random_perm:
+        perm = formats.make_shuffled_dim(params, seed=args.seed)
+    else:
+        # computed space: header id doubles as the Feistel seed, making
+        # the .shuf self-describing (shufspace.detect)
+        perm = shufspace.make_feistel_dim(params)
     formats.write_shuf(args.o + ".shuf", params, perm)
     print(
         f"kssd_tpu shuffle: shuf_id={params.id}, k = {params.k}, "
@@ -168,20 +177,24 @@ def _is_mco_dir(path: str) -> bool:
 
 
 def _load_params(args):
-    from public_kssd_tpu import formats
+    """(params, shuf) where shuf is a ComputedShuf when the .shuf encodes
+    a Feistel space (gather-free kernel), else the permutation table."""
+    from public_kssd_tpu import formats, shufspace
     from public_kssd_tpu.config import SketchParams
 
     if os.path.isfile(args.dr):
-        return formats.read_shuf(args.dr, component_sz=args.component_sz)
+        params, perm = formats.read_shuf(args.dr, component_sz=args.component_sz)
+        computed = shufspace.detect(params, perm)
+        return params, (computed if computed is not None else perm)
     params = SketchParams.create(
         k=args.k, drlevel=int(args.dr), component_sz=args.component_sz
     )
-    perm = formats.make_shuffled_dim(params)
+    perm = shufspace.make_feistel_dim(params)
     os.makedirs(args.outdir, exist_ok=True)
     shuf_path = os.path.join(args.outdir, "default.shuf")
     formats.write_shuf(shuf_path, params, perm)
     print(f"generated {shuf_path} (shuf_id={params.id})")
-    return params, perm
+    return params, shufspace.ComputedShuf(params.id, params.half_subctx_len)
 
 
 def _cmd_dist(args) -> int:

@@ -31,14 +31,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from public_kssd_tpu import shufspace
 from public_kssd_tpu.config import SketchParams
 from public_kssd_tpu.seqio import BREAK
+
+Shuf = "jax.Array | np.ndarray | shufspace.ComputedShuf"
+
+
+def _norm_shuf(shuf):
+    """Split a shuffle-space argument into (table|None, ComputedShuf|None).
+
+    A ComputedShuf evaluates the permutation in-register (zero gathers,
+    shufspace.py); a table routes through the HBM gather fallback.
+    """
+    if isinstance(shuf, shufspace.ComputedShuf):
+        return None, shuf
+    return shuf, None
 
 
 def sketch_windows_math(
     symbols: jax.Array,  # uint8 [N] base codes 0..3 or BREAK(4)
-    shuffled_dim: jax.Array,  # int32 [16^s]
+    shuffled_dim: jax.Array | None,  # int32 [16^s] or None with computed
     params: SketchParams,
+    computed: shufspace.ComputedShuf | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Trace-level kernel body (callable inside jit/shard_map/vmap):
     (drtuple uint64 [M], keep bool [M]) for all M = N-W+1 windows.
@@ -74,9 +89,15 @@ def sketch_windows_math(
 
     # --- canonical + shuffled-space filter ----------------------------
     uni = jnp.minimum(fwd, rc)
-    inner = ((uni >> jnp.uint64(2 * params.half_outctx_len)).astype(jnp.uint32)
-             & jnp.uint32(params.dim_shuf_len - 1)).astype(jnp.int32)
-    pf = shuffled_dim[inner]
+    inner = (uni >> jnp.uint64(2 * params.half_outctx_len)).astype(
+        jnp.uint32
+    ) & jnp.uint32(params.dim_shuf_len - 1)
+    if computed is not None:
+        pf = shufspace.feistel(
+            jnp, inner, computed.seed, computed.subctx_len
+        ).astype(jnp.int32)
+    else:
+        pf = shuffled_dim[inner.astype(jnp.int32)]
     keep = valid & (pf >= params.dim_start) & (pf < params.dim_end)
 
     # --- repack to drtuple (iseq2comem.c:250-253) ---------------------
@@ -90,17 +111,19 @@ def sketch_windows_math(
     return drtuple, keep
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def sketch_windows(symbols, shuffled_dim, params: SketchParams):
+@functools.partial(jax.jit, static_argnames=("params", "computed"))
+def sketch_windows(symbols, shuffled_dim, params: SketchParams, computed=None):
     """jit entry point over sketch_windows_math."""
-    return sketch_windows_math(symbols, shuffled_dim, params)
+    return sketch_windows_math(symbols, shuffled_dim, params, computed)
 
 
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # drtuple is <= 60 bits
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cap"))
-def sketch_windows_compact(symbols, shuffled_dim, params: SketchParams, cap: int):
+@functools.partial(jax.jit, static_argnames=("params", "cap", "computed"))
+def sketch_windows_compact(
+    symbols, shuffled_dim, params: SketchParams, cap: int, computed=None
+):
     """Kernel + on-device compaction: (codes uint64 [cap], pos int32 [cap]).
 
     Only ~N/16^drlevel windows survive the shuffled-space filter, so
@@ -112,26 +135,36 @@ def sketch_windows_compact(symbols, shuffled_dim, params: SketchParams, cap: int
     sentinel present) signals possible overflow — the host retries with a
     larger capacity (the static-shape analog of the reference's
     hash-overflow rerun, iseq2comem.c:262-263).
+
+    Compaction is ``lax.top_k`` over (keep ? -position : -inf): survivors
+    sort to the front in sequence order. On TPU this is ~15x faster than
+    ``jnp.nonzero(size=cap)`` (47 ms vs 722 ms per 8M-window block on a
+    v5e, measured) because nonzero lowers to a full-length scatter.
     """
-    drtuple, keep = sketch_windows_math(symbols, shuffled_dim, params)
+    drtuple, keep = sketch_windows_math(symbols, shuffled_dim, params, computed)
     m = drtuple.shape[0]
-    idx = jnp.nonzero(keep, size=cap, fill_value=m)[0]
-    in_range = idx < m
-    codes = jnp.where(
-        in_range, drtuple[jnp.minimum(idx, m - 1)], SENTINEL
-    )
-    pos = jnp.where(in_range, idx, -1).astype(jnp.int32)
+    neg_inf = jnp.int32(-(2**31 - 1))
+    key = jnp.where(keep, -jnp.arange(m, dtype=jnp.int32), neg_inf)
+    if cap > m:
+        key = jnp.pad(key, (0, cap - m), constant_values=neg_inf)
+    _, idx = jax.lax.top_k(key, cap)
+    safe = jnp.minimum(idx, m - 1)
+    ok = keep[safe] & (idx < m) & (key[idx] != neg_inf)
+    codes = jnp.where(ok, drtuple[safe], SENTINEL)
+    pos = jnp.where(ok, idx, -1).astype(jnp.int32)
     return codes, pos
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cap"))
-def sketch_windows_compact_fused(symbols, shuffled_dim, params, cap: int):
+@functools.partial(jax.jit, static_argnames=("params", "cap", "computed"))
+def sketch_windows_compact_fused(
+    symbols, shuffled_dim, params, cap: int, computed=None
+):
     """Like sketch_windows_compact but returns ONE uint64 [2*cap] array
     (codes ++ positions) — a single device buffer to fetch, and no eager
     ops on the host side (each eager dispatch through a remote-device
     tunnel costs hundreds of ms)."""
     codes, pos = sketch_windows_compact.__wrapped__(
-        symbols, shuffled_dim, params, cap
+        symbols, shuffled_dim, params, cap, computed
     )
     return jnp.concatenate([codes, pos.astype(jnp.int64).astype(jnp.uint64)])
 
@@ -152,6 +185,7 @@ def sketch_codes_stream(
     buffers are sentinel-padded so each block costs one dispatch + one
     small fetch.
     """
+    table, computed = _norm_shuf(shuffled_dim)
     W = params.TL
     n = symbols.size
     if n < W:
@@ -171,10 +205,15 @@ def sketch_codes_stream(
         exp = chunk.size >> (4 * params.drlevel)
         cap = max(4096, 1 << (4 * max(exp, 1) - 1).bit_length())
         chunk_dev = jnp.asarray(chunk)
-        both = sketch_windows_compact_fused(chunk_dev, shuffled_dim, params, cap)
+        both = sketch_windows_compact_fused(
+            chunk_dev, table, params, cap, computed
+        )
         pending.append((start, cap, chunk_dev, both))
         start = end - (W - 1)
-    # phase 2: collect
+    # phase 2: collect (start all device->host copies before blocking on
+    # the first — transfers overlap trailing kernels and each other)
+    for *_unused, both_dev in pending:
+        both_dev.copy_to_host_async()
     out_codes: list[np.ndarray] = []
     out_pos: list[np.ndarray] = []
     for start_, cap, chunk_dev, both_dev in pending:
@@ -184,7 +223,9 @@ def sketch_codes_stream(
         while int((codes_np != SENTINEL).sum()) >= cap:
             cap *= 4  # possibly overflowed: retry this block with headroom
             both = np.asarray(
-                sketch_windows_compact_fused(chunk_dev, shuffled_dim, params, cap)
+                sketch_windows_compact_fused(
+                    chunk_dev, table, params, cap, computed
+                )
             )
             codes_np = both[:cap]
             pos_np = both[cap:].astype(np.int64)

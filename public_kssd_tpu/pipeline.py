@@ -17,7 +17,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from public_kssd_tpu import formats, hashdedup, infiles, seqio
+from public_kssd_tpu import formats, hashdedup, infiles, seqio, shufspace
 from public_kssd_tpu.config import SketchParams
 from public_kssd_tpu.ops import sketch as sketch_ops
 
@@ -56,6 +56,39 @@ def parse_one(path: str, opts: SketchOptions) -> np.ndarray:
             return seqio.fastq_to_codes(raw, min_qual=0)
         return seqio.fastq_to_codes(raw, min_qual=opts.min_qual)
     return seqio.fasta_to_codes(raw)
+
+
+def parsed_streams(paths, opts: SketchOptions, workers: int | None = None):
+    """Yield ``(index, path, symbols)`` in order, parsing ahead on a
+    thread pool (gzip inflate and the numpy/C scanners release the GIL,
+    so decompression+parsing overlaps device work). Prefetch depth is
+    bounded at 2x the pool so huge inputs don't all sit in RAM.
+
+    The TPU-side analog of the reference's OpenMP parallel-for over
+    genomes (run_stageI, command_dist.c:277-312) — but here host threads
+    only feed the parser; the sketch math itself is batched on-device.
+    """
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = workers or min(8, os.cpu_count() or 1)
+    with ThreadPoolExecutor(workers) as ex:
+        pending = collections.deque()
+        it = enumerate(paths)
+        for _ in range(2 * workers):
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            pending.append((nxt[0], nxt[1], ex.submit(parse_one, nxt[1], opts)))
+        while pending:
+            i, path, fut = pending.popleft()
+            sym = fut.result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(
+                    (nxt[0], nxt[1], ex.submit(parse_one, nxt[1], opts))
+                )
+            yield i, path, sym
 
 
 def dedup_one(
@@ -122,7 +155,10 @@ def run_stage1(
     """Sketch ``input_files`` into ``out_dir`` (combco.* + cofiles.stat)."""
     opts = opts or SketchOptions()
     os.makedirs(out_dir, exist_ok=True)
-    shuffled_dim_dev = jnp.asarray(shuffled_dim)
+    if isinstance(shuffled_dim, shufspace.ComputedShuf):
+        shuffled_dim_dev = shuffled_dim  # gather-free kernel path
+    else:
+        shuffled_dim_dev = jnp.asarray(shuffled_dim)
     cnum = params.component_num
 
     if opts.byread:
@@ -136,17 +172,24 @@ def run_stage1(
     ctx_ct = np.zeros(len(input_files), dtype=np.uint32)
     koc = False
     # batch files through the device in ~64 MB symbol groups: one
-    # concatenated kernel pass per group amortises device roundtrips
+    # concatenated kernel pass per group amortises device roundtrips;
+    # parsing runs ahead on host threads (parsed_streams)
     group_budget = 64 << 20
-    i = 0
-    while i < len(input_files):
+    stream_iter = parsed_streams(input_files, opts)
+    done = False
+    while not done:
         group = []
         used = 0
-        while i < len(input_files) and (not group or used < group_budget):
-            sym = parse_one(input_files[i], opts)
-            group.append((i, input_files[i], sym))
+        while not group or used < group_budget:
+            item = next(stream_iter, None)
+            if item is None:
+                done = True
+                break
+            gi, path, sym = item
+            group.append((gi, path, sym))
             used += sym.size
-            i += 1
+        if not group:
+            break
         kept_lists = sketch_ops.sketch_codes_multi(
             [g[2] for g in group], shuffled_dim_dev, params
         )
