@@ -34,9 +34,23 @@ with the reference implementation so users can switch tools mid-pipeline.
 The 64-bit k-mer bit arithmetic requires jax x64 mode, enabled on import.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA compiles through a remote-TPU tunnel
+# run tens of seconds each; cache them across processes (tests, CLI runs,
+# bench) unless the user already picked a cache dir.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", "kssd_tpu_jax_cache"
+        ),
+    )
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from public_kssd_tpu.config import SketchParams  # noqa: E402
 

@@ -169,6 +169,60 @@ def sketch_windows_compact_fused(
     return jnp.concatenate([codes, pos.astype(jnp.int64).astype(jnp.uint64)])
 
 
+def _pallas_mode(params, computed) -> str:
+    """'tpu' | 'interpret' | '' — whether the Pallas sketch kernel applies.
+
+    The Pallas path needs a computed (Feistel) shuffle space and a
+    <=31-bit drtuple; it is the default on TPU backends and can be
+    forced into interpreter mode for CPU tests (KSSD_TPU_PALLAS=interpret)
+    or disabled entirely (KSSD_TPU_PALLAS=off).
+    """
+    import os
+
+    from public_kssd_tpu.ops import pallas_sketch
+
+    if computed is None or not pallas_sketch.supported(params):
+        return ""
+    mode = os.environ.get("KSSD_TPU_PALLAS", "auto")
+    if mode == "off":
+        return ""
+    if mode == "interpret":
+        return "interpret"
+    if jax.default_backend() != "cpu":
+        return "tpu"
+    return ""
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "seed", "cap", "interpret")
+)
+def sketch_windows_compact_fused_pallas(
+    symbols, params: SketchParams, seed: int, cap: int, interpret: bool = False
+):
+    """Pallas-kernel analog of sketch_windows_compact_fused: the dense
+    per-window pass runs as a hand-tiled VMEM kernel (ops/pallas_sketch.py,
+    uint32 registers, in-register Feistel filter); only the survivor
+    compaction (top_k) stays in XLA. Same [2*cap] uint64 output contract.
+    """
+    from public_kssd_tpu.ops import pallas_sketch
+
+    dense = pallas_sketch.sketch_windows_pallas(
+        symbols, params, seed, interpret=interpret
+    )  # uint32 [n], SENTINEL32 where filtered
+    n = dense.shape[0]
+    keep = dense != pallas_sketch.SENTINEL32
+    neg_inf = jnp.int32(-(2**31 - 1))
+    key = jnp.where(keep, -jnp.arange(n, dtype=jnp.int32), neg_inf)
+    if cap > n:
+        key = jnp.pad(key, (0, cap - n), constant_values=neg_inf)
+    _, idx = jax.lax.top_k(key, cap)
+    safe = jnp.minimum(idx, n - 1)
+    ok = keep[safe] & (idx < n) & (key[idx] != neg_inf)
+    codes = jnp.where(ok, dense[safe].astype(jnp.uint64), SENTINEL)
+    pos = jnp.where(ok, idx, -1).astype(jnp.int64).astype(jnp.uint64)
+    return jnp.concatenate([codes, pos])
+
+
 def sketch_codes_stream(
     symbols: np.ndarray,
     shuffled_dim,
