@@ -66,16 +66,46 @@ def _u32(x: int) -> np.uint32:
     return np.uint32(x & 0xFFFFFFFF)
 
 
+def _lsr(x, sh: int):
+    """LOGICAL right shift of a uint32 lane value by a static amount.
+
+    Mosaic lowers uint32 ``>>`` as an arithmetic i32 shift (the same
+    class of bug as the signed-compare quirk handled in _sketch_kernel),
+    so the sign extension must be masked off explicitly. No-op cost: the
+    mask fuses into the shift on the VPU.
+    """
+    if sh == 0:
+        return x
+    if sh >= 32:
+        return x ^ x  # zeros_like, keeps dtype
+    return (x >> _u32(sh)) & _u32(0xFFFFFFFF >> sh)
+
+
 def _shift_right_128(hi, lo, sh: int):
     """(hi:lo) >> sh for a 64-bit value in two uint32 halves, 0<=sh<64."""
     if sh == 0:
         return lo
     if sh < 32:
-        return (lo >> _u32(sh)) | (hi << _u32(32 - sh))
-    return hi >> _u32(sh - 32)
+        return _lsr(lo, sh) | (hi << _u32(32 - sh))
+    return _lsr(hi, sh - 32)
 
 
-def _sketch_kernel(a_ref, b_ref, out_ref, *, params: SketchParams, seed: int):
+def _ult(a, b):
+    """Unsigned a < b on uint32 lanes, independent of whether the backend
+    lowers the compare signed (Mosaic/TPU) or unsigned (interpreter):
+    compare the sign-safe 31-bit halves first, then the low bit."""
+    ah, bh = _lsr(a, 1), _lsr(b, 1)
+    return (ah < bh) | ((ah == bh) & ((a & _u32(1)) < (b & _u32(1))))
+
+
+def _ule(a, b):
+    """Unsigned a <= b (same backend-independence as _ult)."""
+    return ~_ult(b, a)
+
+
+def _sketch_kernel(
+    a_ref, b_ref, out_ref, *, params: SketchParams, seed: int, debug: str = ""
+):
     """One (BLOCK_ROWS, LANES) tile: a_ref = this row-block, b_ref = the
     row-block one row down (halo source). Emits one code per window
     position, SENTINEL32 where filtered out."""
@@ -99,24 +129,22 @@ def _sketch_kernel(a_ref, b_ref, out_ref, *, params: SketchParams, seed: int):
         invalid = invalid | (sym >= np.uint32(BREAK))
         bj = sym & three  # harmless for BREAK lanes; masked via `invalid`
         # fwd = (fwd << 2) | bj   (64-bit via hi/lo)
-        fwd_hi = (fwd_hi << _u32(2)) | (fwd_lo >> _u32(30))
+        fwd_hi = (fwd_hi << _u32(2)) | _lsr(fwd_lo, 30)
         fwd_lo = (fwd_lo << _u32(2)) | bj
-        # rc |= (3 ^ bj) << 2j
-        comp = three ^ bj
-        if 2 * j < 32:
-            rc_lo = rc_lo | (comp << _u32(2 * j))
-        else:
-            rc_hi = rc_hi | (comp << _u32(2 * j - 32))
+        # rc = (rc << 2) | (3 ^ b[W-1-j]) — descending-index accumulation
+        # so every shift stays on the born-32-bit ACCUMULATOR. The naive
+        # form ``(3 ^ bj) << 2j`` silently truncates for 2j >= 16: Mosaic
+        # evaluates the narrow-range operand (<= 3) in 16-bit lanes
+        # (verified on a v5e — bits 16+ of rc came out zero).
+        symr = ext[:, W - 1 - j : W - 1 - j + LANES]
+        rc_hi = (rc_hi << _u32(2)) | _lsr(rc_lo, 30)
+        rc_lo = (rc_lo << _u32(2)) | (three ^ (symr & three))
     if 4 * params.half_ctx_len <= 32:
         fwd_hi = jnp.zeros_like(fwd_hi)  # 4k bits fit entirely in lo
 
-    # canonical = min(fwd, rc), 64-bit lexicographic on (hi, lo).
-    # Mosaic lowers uint32 < as a SIGNED i32 compare; flip the sign bit
-    # (x ^ 0x80000000) so the signed order matches unsigned order.
-    flip = _u32(0x80000000)
-    take_fwd = ((fwd_hi ^ flip) < (rc_hi ^ flip)) | (
-        (fwd_hi == rc_hi) & ((fwd_lo ^ flip) <= (rc_lo ^ flip))
-    )
+    # canonical = min(fwd, rc), 64-bit lexicographic on (hi, lo), using
+    # the backend-independent unsigned compares (_ult/_ule).
+    take_fwd = _ult(fwd_hi, rc_hi) | ((fwd_hi == rc_hi) & _ule(fwd_lo, rc_lo))
     uni_hi = jnp.where(take_fwd, fwd_hi, rc_hi)
     uni_lo = jnp.where(take_fwd, fwd_lo, rc_lo)
 
@@ -125,6 +153,15 @@ def _sketch_kernel(a_ref, b_ref, out_ref, *, params: SketchParams, seed: int):
         params.dim_shuf_len - 1
     )
     pf = shufspace.feistel(_NpConsts, inner, seed, params.half_subctx_len)
+    if debug:  # test-only intermediate dump (see tests / debugging scripts)
+        out_ref[:] = {
+            "inner": inner,
+            "pf": pf,
+            "uni_lo": uni_lo,
+            "uni_hi": uni_hi,
+            "invalid": invalid.astype(jnp.uint32),
+        }[debug]
+        return
     keep = (
         (~invalid)
         & (pf >= np.uint32(params.dim_start))
@@ -145,12 +182,15 @@ def _sketch_kernel(a_ref, b_ref, out_ref, *, params: SketchParams, seed: int):
     out_ref[:] = jnp.where(keep, drtuple, SENTINEL32)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "seed", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("params", "seed", "interpret", "debug")
+)
 def sketch_windows_pallas(
     symbols: jax.Array,  # uint8 [N], N a multiple of LANES
     params: SketchParams,
     seed: int,
     interpret: bool = False,
+    debug: str = "",
 ) -> jax.Array:
     """uint32 [N] per-window sketch codes (SENTINEL32 = filtered out).
 
@@ -169,7 +209,9 @@ def sketch_windows_pallas(
         sym2d = jnp.pad(sym2d, ((0, pad_rows), (0, 0)), constant_values=BREAK)
     total_rows = rows + pad_rows
 
-    kernel = functools.partial(_sketch_kernel, params=params, seed=seed)
+    kernel = functools.partial(
+        _sketch_kernel, params=params, seed=seed, debug=debug
+    )
     out = pl.pallas_call(
         kernel,
         grid=(grid_rows,),

@@ -87,12 +87,18 @@ def feistel(xp, inner, seed: int, subctx_len: int):
     mask = xp.uint32((1 << h) - 1)
     left = (inner >> xp.uint32(h)) & mask
     right = inner & mask
+    # Right shifts are masked to the logically-shifted width: a no-op under
+    # correct uint32 semantics, but required inside Pallas kernels, where
+    # Mosaic lowers uint32 ``>>`` as an ARITHMETIC i32 shift (sign bits
+    # would smear into the high lanes and corrupt the permutation).
+    m15 = xp.uint32(0xFFFFFFFF >> 15)
+    m13 = xp.uint32(0xFFFFFFFF >> 13)
     for key in _round_keys(seed):
         # round function: multiply-add-xor mixer, truncated to h bits
         f = right * xp.uint32(_GOLDEN) + xp.uint32(key)
-        f = f ^ (f >> xp.uint32(15))
+        f = f ^ ((f >> xp.uint32(15)) & m15)
         f = f * xp.uint32(_MIX2)
-        f = (f ^ (f >> xp.uint32(13))) & mask
+        f = (f ^ ((f >> xp.uint32(13)) & m13)) & mask
         left, right = right, left ^ f
     return (left << xp.uint32(h)) | right
 

@@ -1,0 +1,92 @@
+"""Pallas sketch-kernel equality tests (interpreter mode on CPU).
+
+The kernel's Mosaic-on-TPU quirks (16-bit lane narrowing of small-range
+operands, arithmetic uint32 shifts, signed compares) cannot all manifest
+under the interpreter, so bench.py additionally asserts pallas-vs-jnp
+equality on the real chip before timing (the round-1 keep-mask bug was
+TPU-only). These tests pin the kernel's *structure* against the jnp path
+and the streaming wiring end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+from public_kssd_tpu import shufspace
+from public_kssd_tpu.config import SketchParams
+from public_kssd_tpu.ops import pallas_sketch, sketch as sketch_ops
+from public_kssd_tpu.seqio import BREAK
+
+
+def _mk(k, s, l, n, seed, n_breaks=40):
+    p = SketchParams(id=77, half_ctx_len=k, half_subctx_len=s, drlevel=l)
+    comp = shufspace.ComputedShuf(p.id, p.half_subctx_len)
+    rng = np.random.default_rng(seed)
+    sym = rng.integers(0, 4, size=n).astype(np.uint8)
+    sym[rng.integers(0, n, size=n_breaks)] = BREAK
+    return p, comp, sym
+
+
+@pytest.mark.parametrize("k,s,l", [(10, 6, 3), (8, 5, 2), (7, 5, 2)])
+def test_pallas_dense_matches_jnp(k, s, l):
+    p, comp, sym = _mk(k, s, l, 8192, seed=k)
+    assert pallas_sketch.supported(p)
+    dense = np.asarray(
+        pallas_sketch.sketch_windows_pallas(sym, p, comp.seed, interpret=True)
+    )
+    dr, keep = sketch_ops.sketch_windows(sym, None, p, comp)
+    dr, keep = np.asarray(dr), np.asarray(keep)
+    m = dr.shape[0]
+    keep_p = dense != pallas_sketch.SENTINEL32
+    np.testing.assert_array_equal(keep_p[:m], keep)
+    assert keep_p[m:].sum() == 0  # tail windows read BREAK halo
+    np.testing.assert_array_equal(dense[:m][keep], dr[keep].astype(np.uint32))
+
+
+def test_pallas_stream_wiring(monkeypatch):
+    """KSSD_TPU_PALLAS=interpret routes sketch_codes_stream through the
+    pallas dense kernel; output must equal the jnp route exactly."""
+    p, comp, sym = _mk(10, 6, 3, 150_000, seed=5, n_breaks=200)
+    monkeypatch.setenv("KSSD_TPU_PALLAS", "off")
+    codes_jnp, pos_jnp = sketch_ops.sketch_codes_stream(sym, comp, p)
+    monkeypatch.setenv("KSSD_TPU_PALLAS", "interpret")
+    codes_pal, pos_pal = sketch_ops.sketch_codes_stream(sym, comp, p)
+    np.testing.assert_array_equal(codes_pal, codes_jnp)
+    np.testing.assert_array_equal(pos_pal, pos_jnp)
+
+
+def test_rows_compaction_matches_fullscan():
+    """Per-row top_k compaction == dense mask, including chunked blocks."""
+    p, comp, sym = _mk(8, 5, 2, 300_000, seed=11, n_breaks=500)
+    dr, keep = sketch_ops.sketch_windows(sym, None, p, comp)
+    dr, keep = np.asarray(dr), np.asarray(keep)
+    want_codes = dr[keep]
+    want_pos = np.flatnonzero(keep)
+    codes, pos = sketch_ops.sketch_codes_stream(sym, comp, p, block=65536)
+    np.testing.assert_array_equal(codes, want_codes)
+    np.testing.assert_array_equal(pos, want_pos)
+
+
+def test_rows_compaction_overflow_retry():
+    """A survivor burst denser than the initial row capacity triggers the
+    grow-and-retry path and still returns every survivor in order."""
+    p = SketchParams(id=77, half_ctx_len=10, half_subctx_len=6, drlevel=3)
+    comp = shufspace.ComputedShuf(p.id, p.half_subctx_len)
+    rng = np.random.default_rng(3)
+    sym = rng.integers(0, 4, size=65536).astype(np.uint8)
+    # a long homopolymer repeat: every window identical -> if its inner
+    # substring is kept, a whole row of survivors (way beyond _row_cap)
+    probe = rng.integers(0, 4, size=p.TL).astype(np.uint8)
+    probed = sketch_ops.sketch_codes_host(probe, comp, p)
+    tries = 0
+    while probed.size == 0:  # find a kept k-mer to tile
+        tries += 1
+        probe = rng.integers(0, 4, size=p.TL).astype(np.uint8)
+        probed = sketch_ops.sketch_codes_host(probe, comp, p)
+        assert tries < 100_000
+    sym[10_000:30_000] = np.tile(probe, 20_000 // p.TL)[:20_000]
+    dr, keep = sketch_ops.sketch_windows(sym, None, p, comp)
+    dr, keep = np.asarray(dr), np.asarray(keep)
+    assert keep.sum() > sketch_ops._row_cap(p)  # the burst overflows C0
+    codes, pos = sketch_ops.sketch_codes_stream(sym, comp, p)
+    np.testing.assert_array_equal(codes, dr[keep])
+    np.testing.assert_array_equal(pos, np.flatnonzero(keep))
