@@ -1,12 +1,13 @@
-"""Benchmark: genomes sketched per second per chip (BASELINE.md config).
+"""Benchmarks vs BASELINE.md on ONE chip.
 
-Workload mirrors the reference's measured baseline (BASELINE.md: 20 x
-~5.3 Mb gzipped fasta, k=10/s=6/l=3, COMPONENT_SZ=7 -> 3.3 s wall = ~6
-genomes/s on a 64-vCPU x86 VM): end-to-end sketching from gzipped fasta
-files on disk to per-genome sketch code sets, on ONE chip.
-
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/6.0}
+1. TPU correctness gate: the Pallas sketch kernel must agree with the
+   jnp path on the real chip (Mosaic lowering quirks do not reproduce in
+   interpret mode — see ops/pallas_sketch.py).
+2. Pair counting: shared-k-mer counts on a synthetic 1k-query x 10k-ref
+   DB (the search hot loop, command_dist.c:779-784).
+3. HEADLINE (last JSON line): end-to-end genomes sketched/s from gzipped
+   fasta on disk — the BASELINE.md stage-I config (20 x ~5.3 Mb,
+   k=10/s=6/l=3 -> 6 genomes/s on a 64-vCPU x86 reference box).
 """
 
 from __future__ import annotations
@@ -48,6 +49,76 @@ def _make_data() -> list[str]:
     return paths
 
 
+def assert_pallas_correct(params, computed) -> None:
+    """Hard gate: pallas dense == jnp dense on THIS backend."""
+    import jax.numpy as jnp
+
+    from public_kssd_tpu.ops import pallas_sketch, sketch as sketch_ops
+
+    rng = np.random.default_rng(7)
+    n = 1 << 17
+    sym = rng.integers(0, 4, size=n).astype(np.uint8)
+    sym[rng.integers(0, n, size=64)] = 4
+    symd = jnp.asarray(sym)
+    dense = np.asarray(
+        pallas_sketch.sketch_windows_pallas(symd, params, computed.seed)
+    )
+    dr, keep = sketch_ops.sketch_windows(symd, None, params, computed)
+    dr, keep = np.asarray(dr), np.asarray(keep)
+    m = dr.shape[0]
+    keep_p = dense != pallas_sketch.SENTINEL32
+    assert np.array_equal(keep_p[:m], keep), "pallas keep-mask != jnp on TPU"
+    assert np.array_equal(
+        dense[:m][keep], dr[keep].astype(np.uint32)
+    ), "pallas codes != jnp on TPU"
+    assert keep_p[m:].sum() == 0
+
+
+def bench_counting(n_qry: int = 1000, n_ref: int = 10_000) -> dict:
+    """Shared-k counting throughput on a synthetic DB shaped like the
+    BASELINE config (~1,300 codes per genome at k=10/l=3)."""
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.ops import count as count_ops
+
+    rng = np.random.default_rng(42)
+    sketch_sz = 1300
+    space = 1 << 28  # 4(k-l)=28-bit code space
+    ref_codes = rng.integers(0, space, size=(n_ref, sketch_sz), dtype=np.uint64)
+    flat = np.sort(ref_codes, axis=None).astype(np.uint32)
+    gids = np.argsort(ref_codes, axis=None, kind="stable") // sketch_sz
+    uniq, first = np.unique(flat, return_index=True)
+    offsets = np.zeros(uniq.size + 1, dtype=np.uint64)
+    offsets[1:-1] = first[1:]
+    offsets[-1] = flat.size
+    sp = index_mod.SparseIndex(
+        uniq_codes=uniq.astype(np.uint32),
+        offsets=offsets,
+        gids=gids.astype(np.uint32),
+        n_genomes=n_ref,
+    )
+    qry_codes = rng.integers(0, space, size=n_qry * sketch_sz, dtype=np.uint64)
+    # make ~30% of query codes real DB hits so postings walks happen
+    hit = rng.random(qry_codes.size) < 0.3
+    qry_codes[hit] = ref_codes.ravel()[
+        rng.integers(0, ref_codes.size, size=int(hit.sum()))
+    ]
+    qry_codes = qry_codes.astype(np.uint32)
+    qry_index = (np.arange(n_qry + 1, dtype=np.uint64)) * sketch_sz
+
+    count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)  # warmup
+    t0 = time.perf_counter()
+    counts = count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
+    dt = time.perf_counter() - t0
+    pairs = n_qry * n_ref
+    return {
+        "metric": "sketch_pairs_per_s_per_chip",
+        "value": round(pairs / dt, 1),
+        "unit": f"genome pairs/s ({n_qry} qry x {n_ref} ref, {sketch_sz} codes/sketch)",
+        "vs_baseline": round((pairs / dt) / (220 / 0.11), 3),
+        "checksum": int(counts.sum()),
+    }
+
+
 def main() -> None:
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
@@ -55,7 +126,6 @@ def main() -> None:
     )
     import public_kssd_tpu  # noqa: F401
     import jax
-    import jax.numpy as jnp
 
     jax.config.update(
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
@@ -70,19 +140,25 @@ def main() -> None:
     # (gather-free sketch kernel; identical .shuf interop — shufspace.py)
     shuffled_dev = shufspace.ComputedShuf(params.id, params.half_subctx_len)
 
-    paths = _make_data()
+    if jax.default_backend() not in ("cpu",):
+        assert_pallas_correct(params, shuffled_dev)
+        print("pallas-vs-jnp equality on TPU: OK", file=sys.stderr)
 
+    print(json.dumps(bench_counting()), flush=True)
+
+    paths = _make_data()
     parse_opts = pipeline.SketchOptions()
 
     def sketch_batch(batch: list[str]) -> int:
-        streams = [
+        streams = (
             s for _, _, s in pipeline.parsed_streams(batch, parse_opts)
-        ]
+        )  # lazy: parsing overlaps pack/upload/compute
         kept = sketch_ops.sketch_codes_multi(streams, shuffled_dev, params)
         return sum(hashdedup.dedup_sorted(k).size for k in kept)
 
-    # warmup: trigger all bucket compilations
-    sketch_batch(paths[:2])
+    # warmup: the SAME batch as the timed run, so every bucket shape is
+    # compiled (or loaded from the persistent cache) before timing
+    sketch_batch(paths[2 : 2 + N_TIMED])
 
     t0 = time.perf_counter()
     total_codes = sketch_batch(paths[2 : 2 + N_TIMED])

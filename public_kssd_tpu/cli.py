@@ -47,7 +47,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-p", type=int, default=0, help="threads (accepted, unused)")
     p.add_argument("-l", "--list", dest="fpath", default="", help="query list file")
     p.add_argument("-L", dest="dr", default="2", help=".shuf file or dim-reduction level [2]")
-    p.add_argument("-m", type=float, default=0, help="max memory GB (accepted)")
+    p.add_argument("-m", dest="mmry", type=float, default=0,
+                   help="max memory GB (bounds sketch groups and search "
+                   "query batches; 0 = unbatched)")
+    p.add_argument("--koc-out", action="store_true",
+                   help="append abundance-weighted output rows when the "
+                   "query sketch has .a files (the reference's "
+                   "koc_dist_print_nobin format — unreachable dead code "
+                   "there; see ops/stats.format_koc_pair_line)")
     p.add_argument("-n", dest="kmerocrs", type=int, default=1, help="least k-mer occurrence (fastq)")
     p.add_argument("-Q", dest="kmerqlty", type=int, default=0, help="min base quality byte")
     p.add_argument("-r", dest="refpath", default="", help="reference dir")
@@ -256,7 +263,8 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
             ref_opts = pipeline.SketchOptions(**{
                 **opts.__dict__, "abundance": False  # command_dist.c:94
             })
-            pipeline.run_stage1(files, args.outdir, params, perm, ref_opts)
+            pipeline.run_stage1(files, args.outdir, params, perm, ref_opts,
+                                mem_gb=args.mmry)
             index.run_stage2(args.outdir, args.outdir, args.component_sz)
             args.refpath = args.outdir
         elif _is_co_dir(args.refpath) and not _is_mco_dir(args.refpath):
@@ -296,6 +304,8 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
                 shared_kmer_path=args.skf or None,
                 mesh=mesh,
                 component_sz=args.component_sz,
+                mem_gb=args.mmry,
+                koc=args.koc_out,
             )
             return 0
         if qry_is_co:
@@ -314,7 +324,8 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
         if not files:
             sys.exit("please specify valid query sequences")
         params, perm = _load_params(args)
-        pipeline.run_stage1(files, args.outdir, params, perm, opts)
+        pipeline.run_stage1(files, args.outdir, params, perm, opts,
+                            mem_gb=args.mmry)
         return 0
     return 0
 

@@ -258,3 +258,27 @@ size_t kssd_dedup_u32_slot_order(const uint32_t *codes, size_t n,
             out[o++] = table[s];
     return o;
 }
+
+/* 2-bit pack: symbol stream -> uint32 words, 16 bases/word, LSB-first.
+ * BREAK(4) packs as code 0 (4&3) -- callers filter break windows by
+ * position (ops/sketch.py packed upload path). Zero-fills padding up to
+ * nwords. */
+void kssd_pack2(const uint8_t *sym, size_t n, uint32_t *out, size_t nwords)
+{
+    size_t full = n / 16;
+    for (size_t w = 0; w < full; w++) {
+        const uint8_t *s = sym + w * 16;
+        uint32_t v = 0;
+        for (int j = 0; j < 16; j++)
+            v |= (uint32_t)(s[j] & 3) << (2 * j);
+        out[w] = v;
+    }
+    if (full < nwords) {
+        memset(out + full, 0, (nwords - full) * sizeof(uint32_t));
+        uint32_t v = 0;
+        for (size_t i = full * 16; i < n; i++)
+            v |= (uint32_t)(sym[i] & 3) << (2 * (i & 15));
+        if (n & 15)
+            out[full] = v;
+    }
+}

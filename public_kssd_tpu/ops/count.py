@@ -126,6 +126,89 @@ def matching_pairs_device(qry_codes, qry_qid, uniq_codes, offsets) -> jax.Array:
     return jnp.sum(length.astype(jnp.int64))
 
 
+@functools.partial(jax.jit, static_argnames=("n_qry", "n_ref", "capacity"))
+def count_shared_weighted_device(
+    qry_codes, qry_qid, qry_weights, uniq_codes, offsets, gids,
+    *, n_qry: int, n_ref: int, capacity: int,
+) -> jax.Array:
+    """Abundance-weighted counting -> uint64 [n_qry, n_ref]: each matched
+    (query occurrence x posting) pair contributes the query code's
+    abundance (its ``.a`` counter) instead of 1. Shares the ragged
+    expansion of count_shared_device; the koc analog of the shared-k
+    walk (the reference's koc output path, koc_dist_print_nobin
+    command_dist.c:1080-1160, is unreachable dead code — semantics
+    reconstructed from its printer: shared_koc_ct / XnY = mean shared
+    k-mer abundance)."""
+    start, length = _match_lengths(qry_codes, qry_qid, uniq_codes, offsets, n_ref)
+    cum = jnp.cumsum(length.astype(jnp.int64))
+    total = cum[-1]
+    t = jnp.arange(capacity, dtype=jnp.int64)
+    src = jnp.searchsorted(cum, t, side="right")
+    src_c = jnp.clip(src, 0, length.shape[0] - 1)
+    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+    off = t - prev
+    pos = (start[src_c].astype(jnp.int64) + off)
+    pos = jnp.clip(pos, 0, gids.shape[0] - 1)
+    rid = gids[pos].astype(jnp.int64)
+    qid = qry_qid[src_c].astype(jnp.int64)
+    valid = t < total
+    flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    w = jnp.where(valid, qry_weights[src_c].astype(jnp.uint64), 0)
+    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint64)
+    counts = counts.at[flat].add(w)
+    return counts[:-1].reshape(n_qry, n_ref)
+
+
+def count_shared_weighted(
+    qry_codes: np.ndarray,
+    qry_index: np.ndarray,
+    qry_weights: np.ndarray,
+    sparse_index,
+    n_qry: int,
+    use_device: bool = True,
+) -> np.ndarray:
+    """Abundance-weighted shared counts of all queries vs one component."""
+    n_ref = sparse_index.n_genomes
+    qid_of = np.searchsorted(
+        qry_index[1:], np.arange(qry_codes.size, dtype=np.uint64), "right"
+    ).astype(np.int32)
+    if not use_device or qry_codes.size == 0:
+        counts = np.zeros((n_qry, n_ref), dtype=np.uint64)
+        uniq, offsets, gids = (
+            sparse_index.uniq_codes, sparse_index.offsets, sparse_index.gids
+        )
+        row = np.searchsorted(uniq, qry_codes)
+        row_c = np.clip(row, 0, max(uniq.size - 1, 0))
+        found = (row < uniq.size) & (uniq[row_c] == qry_codes)
+        starts = offsets[row_c][found].astype(np.int64)
+        lens = (offsets[row_c + 1] - offsets[row_c])[found].astype(np.int64)
+        if lens.sum() == 0:
+            return counts
+        exp_gids = gids[_ragged_indices_np(starts, lens)].astype(np.int64)
+        exp_qids = np.repeat(qid_of[found], lens)
+        exp_w = np.repeat(qry_weights[found].astype(np.uint64), lens)
+        np.add.at(counts, (exp_qids, exp_gids), exp_w)
+        return counts
+    L = 1 << max(int(qry_codes.size - 1).bit_length(), 6)
+    qc = np.zeros(L, dtype=np.uint32)
+    qc[: qry_codes.size] = qry_codes
+    qq = np.full(L, -1, dtype=np.int32)
+    qq[: qry_codes.size] = qid_of
+    qw = np.zeros(L, dtype=np.uint32)
+    qw[: qry_codes.size] = qry_weights
+    uniq = jnp.asarray(sparse_index.uniq_codes)
+    offs = jnp.asarray(sparse_index.offsets)
+    g = jnp.asarray(sparse_index.gids)
+    qc_d, qq_d = jnp.asarray(qc), jnp.asarray(qq)
+    total = int(matching_pairs_device(qc_d, qq_d, uniq, offs))
+    capacity = 1 << max(int(max(total - 1, 1)).bit_length(), 6)
+    out = count_shared_weighted_device(
+        qc_d, qq_d, jnp.asarray(qw), uniq, offs, g,
+        n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+    )
+    return np.asarray(out)
+
+
 def count_shared(
     qry_codes: np.ndarray,
     qry_index: np.ndarray,

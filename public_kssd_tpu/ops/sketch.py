@@ -173,6 +173,39 @@ def sketch_windows_compact_fused(
 ROW_B = 2048  # windows per compaction row (see sketch_windows_rows)
 
 
+def pack2(symbols: np.ndarray, total: int) -> np.ndarray:
+    """Host-side 2-bit packing: uint8 codes -> uint32 words (16 bases each).
+
+    BREAK symbols are packed as code 0 — the caller records break
+    positions separately and filters survivors by position (the device
+    never sees breaks). ``total`` (multiple of 16) pads with code 0.
+
+    Uploads through the device tunnel run at ~50 MB/s (measured), so the
+    4x shrink vs uint8 symbols is the single biggest end-to-end win.
+    Uses the native C packer when available (10 ms / 53 Mbases vs ~500 ms
+    for the numpy fallback below).
+    """
+    from public_kssd_tpu import native
+
+    out = native.pack2(symbols, total)
+    if out is not None:
+        return out
+    a = np.zeros(total, np.uint8)
+    np.bitwise_and(symbols, 3, out=a[: symbols.size])
+    a = a.reshape(-1, 4)
+    by = a[:, 0] | (a[:, 1] << 2) | (a[:, 2] << 4) | (a[:, 3] << 6)
+    return by.view("<u4")
+
+
+def _unpack2(words: jax.Array) -> jax.Array:
+    """Device prologue: uint32 words -> uint8 base codes (16 per word).
+    Memory-bound XLA op (~20 us for 8M bases on a v5e); keeps the Pallas
+    window kernel's uint8 input contract unchanged."""
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :]
+    sym = (words[:, None] >> shifts) & jnp.uint32(3)
+    return sym.astype(jnp.uint8).reshape(-1)
+
+
 def _row_cap(params: SketchParams, B: int = ROW_B) -> int:
     """Initial survivor capacity per compaction row: 8x the expected
     B/16^l rate, power of two, in [8, B]."""
@@ -182,7 +215,9 @@ def _row_cap(params: SketchParams, B: int = ROW_B) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "B", "C", "computed", "use_pallas", "interpret"),
+    static_argnames=(
+        "params", "B", "C", "computed", "use_pallas", "interpret", "packed"
+    ),
 )
 def sketch_windows_rows(
     symbols,
@@ -193,6 +228,7 @@ def sketch_windows_rows(
     computed=None,
     use_pallas: bool = False,
     interpret: bool = False,
+    packed: bool = False,
 ):
     """Dense window pass + HIERARCHICAL survivor compaction.
 
@@ -210,7 +246,13 @@ def sketch_windows_rows(
 
     Requires drtuple_bits <= 31 (codes packed in the low int64 half);
     wider geometries use sketch_windows_compact_fused.
+
+    ``packed=True``: ``symbols`` is a 2-bit-packed uint32 word array
+    (pack2); breaks/tail windows are the CALLER's responsibility to
+    filter by position.
     """
+    if packed:
+        symbols = _unpack2(symbols)
     n = symbols.shape[0]
     if use_pallas:
         from public_kssd_tpu.ops import pallas_sketch
@@ -264,63 +306,68 @@ def _pallas_mode(params, computed) -> str:
     return ""
 
 
-def sketch_codes_stream(
-    symbols: np.ndarray,
+def _iter_chunks(pieces, block: int, W: int):
+    """Assemble an iterator of symbol arrays into (global_start, chunk)
+    blocks of at most ``block`` symbols, consecutive blocks overlapping
+    by W-1 so every window is seen exactly once (the chunked-sequence
+    streaming of SURVEY.md §5). Consumes ``pieces`` lazily — upstream
+    parsing overlaps downstream packing/upload/compute."""
+    carry = np.zeros(0, np.uint8)
+    gstart = 0
+    for piece in pieces:
+        if piece.size == 0:
+            continue
+        carry = np.concatenate([carry, piece]) if carry.size else piece
+        while carry.size >= block:
+            yield gstart, carry[:block]
+            gstart += block - (W - 1)
+            carry = carry[block - (W - 1):]
+    if carry.size >= W:
+        yield gstart, carry
+
+
+def _stream_packed(
+    pieces,
     shuffled_dim,
     params: SketchParams,
-    block: int = 1 << 23,
+    block: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Stream a symbol array through the device kernel in fixed-size
-    blocks; returns (codes uint64, window start positions int64), both in
-    sequence order.
+    """Packed streaming core for <=31-bit drtuples: 2-bit-packed uploads,
+    dense kernel (Pallas on TPU, jnp otherwise), per-row top_k compaction,
+    host-side position filtering of tail/break windows.
 
-    Blocks overlap by W-1 symbols so every window is seen exactly once —
-    the chunked-sequence streaming described in SURVEY.md §5. Blocks pad
-    to power-of-two buckets (bounded distinct compilations); survivor
-    buffers are sentinel-padded so each block costs one dispatch + one
-    small fetch.
-
-    Dense pass: the Pallas VMEM kernel on TPU (ops/pallas_sketch.py) when
-    the geometry supports it, the jnp path otherwise; compaction: per-row
-    top_k (sketch_windows_rows) for <=31-bit codes, full-length top_k for
-    wide geometries.
+    Breaks never reach the device: packed uploads carry pure 2-bit codes
+    (4x less tunnel traffic — the tunnel runs ~50 MB/s) and survivors
+    overlapping a break are dropped by position here. Breaks are rare
+    (headers, N runs, read boundaries): the wasted device work is ~W
+    windows per break.
     """
     table, computed = _norm_shuf(shuffled_dim)
-    W = params.TL
-    n = symbols.size
-    if n < W:
-        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    if params.drtuple_bits > 31:
-        return _sketch_codes_stream_wide(symbols, table, params, block, computed)
     mode = _pallas_mode(params, computed)
     use_pallas = bool(mode)
     interpret = mode == "interpret"
     B = ROW_B
-    # phase 1: enqueue every block (jax dispatch is async — uploads,
-    # kernels and result staging overlap across blocks)
-    pending = []  # (start, C, chunk_dev, result_dev)
-    start = 0
-    while start + W - 1 < n:
-        end = min(start + block, n)
-        chunk = symbols[start:end]
-        if chunk.size < block:
-            bucket = max(4096, 1 << (chunk.size - 1).bit_length())
-            pad = np.full(bucket - chunk.size, BREAK, dtype=np.uint8)
-            chunk = np.concatenate([chunk, pad])
+    W = params.TL
+    # phase 1: enqueue every block (jax dispatch is async — packing,
+    # uploads, kernels and upstream parsing all overlap across blocks)
+    pending = []  # (gstart, real_len, local_breaks, C, words_dev, dev)
+    for gstart, chunk in _iter_chunks(pieces, block, W):
+        bucket = min(block, max(4096, 1 << (chunk.size - 1).bit_length()))
+        brks = np.flatnonzero(chunk >= BREAK).astype(np.int64)
         C = _row_cap(params, B)
-        chunk_dev = jnp.asarray(chunk)
-        packed = sketch_windows_rows(
-            chunk_dev, table, params, B, C, computed, use_pallas, interpret
+        words_dev = jnp.asarray(pack2(chunk, bucket))
+        dev = sketch_windows_rows(
+            words_dev, table, params, B, C, computed, use_pallas,
+            interpret, True,
         )
-        pending.append((start, C, chunk_dev, packed))
-        start = end - (W - 1)
+        pending.append((gstart, chunk.size, brks, C, words_dev, dev))
     # phase 2: collect (start all device->host copies before blocking on
     # the first — transfers overlap trailing kernels and each other)
     for *_unused, dev in pending:
         dev.copy_to_host_async()
     out_codes: list[np.ndarray] = []
     out_pos: list[np.ndarray] = []
-    for start_, C, chunk_dev, dev in pending:
+    for gstart, real_len, brks, C, words_dev, dev in pending:
         arr = np.asarray(dev)
         ok = arr != -1
         while C < B and bool(ok.all(axis=1).any()):
@@ -330,16 +377,50 @@ def sketch_codes_stream(
             C = min(C * 4, B)
             arr = np.asarray(
                 sketch_windows_rows(
-                    chunk_dev, table, params, B, C, computed, use_pallas, interpret
+                    words_dev, table, params, B, C, computed, use_pallas,
+                    interpret, True,
                 )
             )
             ok = arr != -1
         flat = arr[ok]  # row-major == sequence order
-        out_pos.append((flat >> 32).astype(np.int64) + start_)
-        out_codes.append((flat & 0xFFFFFFFF).astype(np.uint64))
+        lpos = (flat >> 32).astype(np.int64)
+        codes = (flat & 0xFFFFFFFF).astype(np.uint64)
+        # host-side validity: window fully inside the real chunk AND
+        # break-free (window at local p covers [p, p+W))
+        keep = lpos <= real_len - W
+        if brks.size:
+            keep &= np.searchsorted(brks, lpos + W - 1, "right") == (
+                np.searchsorted(brks, lpos, "left")
+            )
+        out_pos.append(lpos[keep] + gstart)
+        out_codes.append(codes[keep])
     if not out_codes:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     return np.concatenate(out_codes), np.concatenate(out_pos)
+
+
+def sketch_codes_stream(
+    symbols: np.ndarray,
+    shuffled_dim,
+    params: SketchParams,
+    block: int = 1 << 24,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stream a symbol array through the device kernel in fixed-size
+    blocks; returns (codes uint64, window start positions int64), both in
+    sequence order.
+
+    Dense pass: the Pallas VMEM kernel on TPU (ops/pallas_sketch.py) when
+    the geometry supports it, the jnp path otherwise; compaction: per-row
+    top_k (sketch_windows_rows) for <=31-bit codes, full-length top_k for
+    wide geometries. Blocks pad to power-of-two buckets (bounded distinct
+    compilations).
+    """
+    table, computed = _norm_shuf(shuffled_dim)
+    if symbols.size < params.TL:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    if params.drtuple_bits > 31:
+        return _sketch_codes_stream_wide(symbols, table, params, block, computed)
+    return _stream_packed([symbols], shuffled_dim, params, block)
 
 
 def _sketch_codes_stream_wide(
@@ -400,7 +481,7 @@ def sketch_codes_host(
     symbols: np.ndarray,
     shuffled_dim,
     params: SketchParams,
-    block: int = 1 << 23,
+    block: int = 1 << 24,
 ) -> np.ndarray:
     """Kept drtuples of one symbol stream, in sequence order."""
     codes, _ = sketch_codes_stream(symbols, shuffled_dim, params, block)
@@ -408,30 +489,49 @@ def sketch_codes_host(
 
 
 def sketch_codes_multi(
-    streams: list[np.ndarray],
+    streams,
     shuffled_dim,
     params: SketchParams,
-    block: int = 1 << 23,
+    block: int = 1 << 24,
 ) -> list[np.ndarray]:
-    """Sketch MANY symbol streams in one concatenated device pass.
+    """Sketch MANY symbol streams (list OR lazy iterator) in one
+    concatenated device pass.
 
     Streams are joined with BREAK separators; kept codes are attributed
-    back to their stream by window position. This amortises the ~30 ms
-    per-roundtrip device latency over a whole batch of genomes.
+    back to their stream by window position. Batching amortises the
+    ~26 ms per-roundtrip device latency over a whole group of genomes,
+    and a lazy ``streams`` iterator lets host parsing overlap
+    packing/upload/compute (the parse-ahead of pipeline.parsed_streams).
     """
-    if not streams:
-        return []
+    table, computed = _norm_shuf(shuffled_dim)
+    if params.drtuple_bits > 31:
+        streams = list(streams)
+        if not streams:
+            return []
+        brk = np.array([BREAK], dtype=np.uint8)
+        pieces = []
+        bounds = np.zeros(len(streams) + 1, dtype=np.int64)
+        for i, s in enumerate(streams):
+            pieces.append(s)
+            pieces.append(brk)
+            bounds[i + 1] = bounds[i] + s.size + 1
+        sym = np.concatenate(pieces)
+        codes, pos = _sketch_codes_stream_wide(sym, table, params, block, computed)
+        sid = np.searchsorted(bounds, pos, side="right") - 1
+        return [codes[sid == i] for i in range(len(streams))]
     brk = np.array([BREAK], dtype=np.uint8)
-    pieces = []
-    bounds = np.zeros(len(streams) + 1, dtype=np.int64)
-    for i, s in enumerate(streams):
-        pieces.append(s)
-        pieces.append(brk)
-        bounds[i + 1] = bounds[i] + s.size + 1
-    sym = np.concatenate(pieces)
-    codes, pos = sketch_codes_stream(sym, shuffled_dim, params, block)
-    sid = np.searchsorted(bounds, pos, side="right") - 1
-    return [codes[sid == i] for i in range(len(streams))]
+    bounds = [0]
+
+    def pieces():
+        for s in streams:
+            yield s
+            yield brk
+            bounds.append(bounds[-1] + s.size + 1)
+
+    codes, pos = _stream_packed(pieces(), shuffled_dim, params, block)
+    nb = np.asarray(bounds, dtype=np.int64)  # complete once collected
+    sid = np.searchsorted(nb, pos, side="right") - 1
+    return [codes[sid == i] for i in range(nb.size - 1)]
 
 
 def sketch_codes_reads(

@@ -189,6 +189,104 @@ def write_distance_out(
                     f.write(line)
 
 
+def format_koc_pair_line(
+    qname: str,
+    rname: str,
+    x_size: int,
+    y_size: int,
+    xny: int,
+    shared_koc: int,
+    kmerlen: int,
+    dim_rd_len: int,
+    ref_num: int,
+    qry_num: int,
+) -> str:
+    """One abundance-weighted line, mirroring koc_dist_print_nobin's
+    printf (command_dist.c:1148-1153) exactly.
+
+    That reference path is UNREACHABLE dead code (no caller of
+    koc_dist_print_nobin or mco_cbd_koc_compatible_dist exists;
+    dist_dispatch only reaches mco_cbdco_nobin_dist, command_dist.c:134),
+    so there is no binary to golden-test against — this port reproduces
+    its arithmetic and formatting and is pinned by a Python oracle test.
+    """
+    xuy = x_size + y_size - xny
+    min_xy = min(x_size, y_size)
+    x_only, y_only = x_size - xny, y_size - xny
+    abund_pct = _c_div(float(shared_koc), float(xny))
+    jac = _c_div(float(xny), float(xuy))
+    contain = _c_div(float(xny), float(min_xy))
+    dm = 0.0 if jac == 1 else -_log(_c_div(2 * jac, 1 + jac)) / kmerlen
+    da = 0.0 if contain == 1 else -_log(contain) / kmerlen
+    p_base = 1.0 - 1.0 / math.pow(ALP_SIZE, kmerlen - dim_rd_len)
+    p_x = 1.0 - math.pow(p_base, x_only)
+    p_y = 1.0 - math.pow(p_base, y_only)
+    rs = _c_div(p_x * p_y * (x_only + y_only), p_x + p_y - 2 * p_x * p_y)
+    j_prim = _c_div(xny - rs, float(xuy))
+    c_prim = _c_div(xny - rs, float(min_xy))
+    dm_prim = 0.0 if j_prim == 1 else -_log(_c_div(2 * j_prim, 1 + j_prim)) / kmerlen
+    da_prim = 0.0 if c_prim == 1 else -_log(c_prim) / kmerlen
+    sd_j = _pow_half(_c_div(j_prim * (1 - j_prim), float(xuy)))
+    sd_c = _pow_half(_c_div(c_prim * (1 - c_prim), float(min_xy)))
+    ci_j1, ci_j2 = j_prim - 1.96 * sd_j, j_prim + 1.96 * sd_j
+    ci_c1, ci_c2 = c_prim - 1.96 * sd_c, c_prim + 1.96 * sd_c
+    ci_dm1 = 0.0 if ci_j2 == 1 else -_log(_c_div(2 * ci_j2, 1 + ci_j2)) / kmerlen
+    ci_dm2 = 0.0 if ci_j1 == 1 else -_log(_c_div(2 * ci_j1, 1 + ci_j1)) / kmerlen
+    ci_da1 = 0.0 if ci_c2 == 1 else -_log(ci_c2) / kmerlen
+    ci_da2 = 0.0 if ci_c1 == 1 else -_log(ci_c1) / kmerlen
+    q_j = _c_div(j_prim, sd_j)
+    q_c = _c_div(c_prim, sd_c)
+    pv_j = q_j if math.isnan(q_j) else 0.5 * _erfc(q_j * math.sqrt(0.5))
+    pv_c = q_c if math.isnan(q_c) else 0.5 * _erfc(q_c * math.sqrt(0.5))
+    qv_j, qv_c = pv_j * ref_num * qry_num, pv_c * ref_num * qry_num
+    f = lambda x: fmt_double(x, "f")  # noqa: E731
+    e = lambda x: fmt_double(x, "E")  # noqa: E731
+    return (
+        f"{qname}\t{rname}\t{f(abund_pct)}\t{xny}-{_uint(rs)}|{x_size}|{y_size}"
+        f"\t{f(jac)}\t{f(dm)}\t{f(contain)}\t{f(da)}"
+        f"\t{f(j_prim)}[{f(ci_j1)},{f(ci_j2)}]\t{f(dm_prim)}[{f(ci_dm1)},{f(ci_dm2)}]"
+        f"\t{f(c_prim)}[{f(ci_c1)},{f(ci_c2)}]\t{f(da_prim)}[{f(ci_da1)},{f(ci_da2)}]"
+        f"\t{e(pv_j)}\t{e(pv_c)}\t{e(qv_j)}\t{e(qv_c)}\n"
+    )
+
+
+def write_koc_distance_out(
+    path: str,
+    counts: np.ndarray,  # uint32 [n_qry, n_ref] shared_k_ct
+    koc_counts: np.ndarray,  # uint64 [n_qry, n_ref] shared_koc_ct
+    ref_sizes: np.ndarray,
+    qry_sizes: np.ndarray,
+    ref_names: list[str],
+    qry_names: list[str],
+    kmerlen: int,
+    dim_rd_len: int,
+) -> None:
+    """Append the koc (abundance-weighted) table to ``path``
+    (koc_dist_print_nobin opens distance.out in append mode and writes
+    no header, command_dist.c:1094-1095)."""
+    n_qry, n_ref = counts.shape
+    with open(path, "a") as f:
+        for q in range(n_qry):
+            for r in range(n_ref):
+                f.write(
+                    format_koc_pair_line(
+                        qry_names[q], ref_names[r],
+                        int(ref_sizes[r]), int(qry_sizes[q]),
+                        int(counts[q, r]), int(koc_counts[q, r]),
+                        kmerlen, dim_rd_len, n_ref, n_qry,
+                    )
+                )
+
+
+def _pow_half(x: float) -> float:
+    """glibc pow(x, 0.5): negative base -> -nan (domain error QNaN)."""
+    if math.isnan(x):
+        return x
+    if x < 0:
+        return _NEG_NAN
+    return math.sqrt(x)
+
+
 def _top_n_rids(row: np.ndarray, ref_sizes: np.ndarray, y: int, opts: OutputOptions):
     """-N best-hit selection (insertion heap, command_dist.c:1212-1227):
     descending metric, ties keep the earlier ref id first."""

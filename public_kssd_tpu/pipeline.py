@@ -17,7 +17,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from public_kssd_tpu import formats, hashdedup, infiles, seqio, shufspace
+from public_kssd_tpu import formats, hashdedup, infiles, seqio, shufspace, utils
 from public_kssd_tpu.config import SketchParams
 from public_kssd_tpu.ops import sketch as sketch_ops
 
@@ -151,8 +151,14 @@ def run_stage1(
     shuffled_dim: np.ndarray,
     opts: SketchOptions | None = None,
     names: list[str] | None = None,
+    mem_gb: float = 0.0,
 ) -> formats.CoStat:
-    """Sketch ``input_files`` into ``out_dir`` (combco.* + cofiles.stat)."""
+    """Sketch ``input_files`` into ``out_dir`` (combco.* + cofiles.stat).
+
+    ``mem_gb`` (-m) bounds the per-group symbol bytes held in host RAM —
+    the analog of the reference's p_fit_mem hash-table governor
+    (command_dist.c:83-92,176-185). 0 = default 64 MB groups.
+    """
     opts = opts or SketchOptions()
     os.makedirs(out_dir, exist_ok=True)
     if isinstance(shuffled_dim, shufspace.ComputedShuf):
@@ -166,61 +172,84 @@ def run_stage1(
             input_files, out_dir, params, shuffled_dim_dev, opts, names
         )
 
+    timer = utils.StageTimer()
     per_comp_codes: list[list[np.ndarray]] = [[] for _ in range(cnum)]
     per_comp_abund: list[list[np.ndarray]] = [[] for _ in range(cnum)]
     per_comp_sizes: list[list[int]] = [[] for _ in range(cnum)]
     ctx_ct = np.zeros(len(input_files), dtype=np.uint32)
     koc = False
-    # batch files through the device in ~64 MB symbol groups: one
+    total_bases = 0
+    # batch files through the device in bounded symbol groups: one
     # concatenated kernel pass per group amortises device roundtrips;
-    # parsing runs ahead on host threads (parsed_streams)
+    # parsing runs ahead on host threads (parsed_streams). -m bounds the
+    # group size (a group is held in RAM: symbols + packed upload copy).
     group_budget = 64 << 20
+    if mem_gb > 0:
+        group_budget = max(8 << 20, int(mem_gb * 1e9) // 4)
     stream_iter = parsed_streams(input_files, opts)
-    done = False
-    while not done:
-        group = []
+    with timer.stage("parse_wait"):
+        pending_item = next(stream_iter, None)
+    while pending_item is not None:
+        group_meta: list[tuple[int, str]] = []
         used = 0
-        while not group or used < group_budget:
-            item = next(stream_iter, None)
-            if item is None:
-                done = True
-                break
-            gi, path, sym = item
-            group.append((gi, path, sym))
-            used += sym.size
-        if not group:
-            break
-        kept_lists = sketch_ops.sketch_codes_multi(
-            [g[2] for g in group], shuffled_dim_dev, params
-        )
-        for (gi, path, _), kept in zip(group, kept_lists):
-            codes, abund = dedup_one(path, kept, params, opts)
-            koc = koc or abund is not None
-            ctx_ct[gi] = codes.size
-            comp_ids = split_components(codes, params)
-            if abund is not None:
-                comp_mask = (
-                    (codes % np.uint64(cnum)).astype(np.int64)
-                    if cnum > 1
-                    else np.zeros(codes.size, np.int64)
-                )
-            for c in range(cnum):
-                per_comp_codes[c].append(comp_ids[c])
-                per_comp_sizes[c].append(comp_ids[c].size)
+
+        def gen():
+            # lazy feed: the device pipeline consumes streams as they
+            # parse, so gzip/scan threads overlap packing/upload/compute
+            nonlocal pending_item, used
+            while pending_item is not None and (
+                not group_meta or used < group_budget
+            ):
+                gi_, path_, sym_ = pending_item
+                group_meta.append((gi_, path_))
+                used += sym_.size
+                with timer.stage("parse_wait"):
+                    pending_item = next(stream_iter, None)
+                yield sym_
+
+        with timer.stage("device_sketch"):
+            kept_lists = sketch_ops.sketch_codes_multi(
+                gen(), shuffled_dim_dev, params
+            )
+        total_bases += used
+        with timer.stage("dedup"):
+            for (gi, path), kept in zip(group_meta, kept_lists):
+                codes, abund = dedup_one(path, kept, params, opts)
+                koc = koc or abund is not None
+                ctx_ct[gi] = codes.size
+                comp_ids = split_components(codes, params)
                 if abund is not None:
-                    per_comp_abund[c].append(abund[comp_mask == c])
+                    comp_mask = (
+                        (codes % np.uint64(cnum)).astype(np.int64)
+                        if cnum > 1
+                        else np.zeros(codes.size, np.int64)
+                    )
+                for c in range(cnum):
+                    per_comp_codes[c].append(comp_ids[c])
+                    per_comp_sizes[c].append(comp_ids[c].size)
+                    if abund is not None:
+                        per_comp_abund[c].append(abund[comp_mask == c])
 
-    for c in range(cnum):
-        blob = (
-            np.concatenate(per_comp_codes[c])
-            if per_comp_codes[c]
-            else np.zeros(0, np.uint32)
-        )
-        index = np.zeros(len(input_files) + 1, dtype=np.uint64)
-        np.cumsum(per_comp_sizes[c], out=index[1:])
-        ab = np.concatenate(per_comp_abund[c]) if koc else None
-        formats.write_combco(out_dir, c, blob, index, ab)
+    with timer.stage("write"):
+        for c in range(cnum):
+            blob = (
+                np.concatenate(per_comp_codes[c])
+                if per_comp_codes[c]
+                else np.zeros(0, np.uint32)
+            )
+            index = np.zeros(len(input_files) + 1, dtype=np.uint64)
+            np.cumsum(per_comp_sizes[c], out=index[1:])
+            ab = np.concatenate(per_comp_abund[c]) if koc else None
+            formats.write_combco(out_dir, c, blob, index, ab)
 
+    wall = sum(acc[0] for acc in timer.stages.values())
+    utils.log.info(
+        "stage I: %d genomes, %.1f Mbp in %.2fs (%.2f genomes/s, %.1f Mbp/s) [%s]",
+        len(input_files), total_bases / 1e6, wall,
+        len(input_files) / wall if wall else 0.0,
+        total_bases / 1e6 / wall if wall else 0.0,
+        timer.report(),
+    )
     stat = formats.CoStat(
         params_id=params.id,
         koc=koc,

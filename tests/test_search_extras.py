@@ -1,0 +1,158 @@
+"""Memory-governed search batching (-m) and koc (abundance-weighted)
+output extension."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from conftest import assert_files_equal
+
+from public_kssd_tpu import formats, index as index_mod, pipeline, search
+from public_kssd_tpu.ops import stats as stats_ops
+
+SHUF = "fix_k8.shuf"
+
+
+@pytest.fixture(scope="module")
+def env(golden7, tmp_path_factory):
+    """Sketches + index built once from the golden fixtures."""
+    old = os.getcwd()
+    os.chdir(golden7)
+    try:
+        params, shuf = formats.read_shuf(SHUF, component_sz=7)
+        for gdir, mdir in (("ref_co", "x_ref"), ("qry_co", "x_qry")):
+            if not os.path.isdir(mdir):
+                stat = formats.read_co_stat(gdir)
+                pipeline.run_stage1(stat.names, mdir, params, shuf)
+        if not os.path.isfile(os.path.join("x_ref", formats.MCO_DSTAT)):
+            index_mod.run_stage2("x_ref", "x_ref", 7)
+        # a koc query dir (fastq with abundance counters)
+        if not os.path.isdir("x_koc"):
+            stat = formats.read_co_stat("fq_koc")
+            pipeline.run_stage1(
+                stat.names, "x_koc", params, shuf,
+                pipeline.SketchOptions(abundance=True),
+            )
+    finally:
+        os.chdir(old)
+    return golden7
+
+
+def test_mem_governed_batching_identical_output(env, in_dir):
+    """Tiny -m forces multi-batch counting + a disk-backed count matrix;
+    distance.out must be byte-identical to the unbatched run
+    (reference batching loop: command_dist.c:763-768)."""
+    with in_dir(env):
+        search.search("x_ref", "x_qry", "d_nobatch")
+        n_ref = formats.read_mco_stat("x_ref").infile_num
+        n_qry = formats.read_co_stat("x_qry").infile_num
+        # smallest possible budget: 1 page of queries per batch
+        mem_gb = (n_ref * 4 * search.PAGE_SZ + 1) / 1e9
+        batch = search.query_batch_size(n_qry, n_ref, mem_gb)
+        assert batch < n_qry or n_qry <= search.PAGE_SZ
+        search.search("x_ref", "x_qry", "d_batched", mem_gb=mem_gb,
+                      keep_shared_kmer=True)
+        assert_files_equal(
+            os.path.join("d_nobatch", "distance.out"),
+            os.path.join("d_batched", "distance.out"),
+        )
+        # the disk-backed matrix is the same bytes the reference mmaps
+        skf = np.fromfile(os.path.join("d_batched", "sharedk_ct.dat"), "<u4")
+        assert skf.shape == (n_qry * n_ref,)
+
+
+def test_query_batch_size_reference_semantics():
+    # num_cof_batch = (mem // (n_ref*4*page)) * page, >= 1 (command_dist.c:745-752)
+    assert search.query_batch_size(100, 10, 0) == 100
+    assert search.query_batch_size(100, 10, 1e-9) == 1  # starvation -> 1
+    b = search.query_batch_size(10**6, 1000, 1.0)
+    assert b == (int(1e9) // (1000 * 4 * 4096)) * 4096
+
+
+def _oracle_koc_line(qn, rn, x, y, xny, koc, kmerlen, dim_rd, nref, nqry):
+    """Literal transcription of koc_dist_print_nobin's body
+    (command_dist.c:1106-1153) with C float semantics via numpy."""
+    with np.errstate(all="ignore"):
+        abund = np.float64(koc) / np.float64(xny)
+        xuy = x + y - xny
+        mn = min(x, y)
+        jac = np.float64(xny) / xuy
+        contain = np.float64(xny) / mn
+        dm = 0.0 if jac == 1 else -np.log(2 * jac / (1 + jac)) / kmerlen
+        da = 0.0 if contain == 1 else -np.log(contain) / kmerlen
+        pb = 1 - 1 / 4.0 ** (kmerlen - dim_rd)
+        px = 1 - pb ** np.float64(x - xny)
+        py = 1 - pb ** np.float64(y - xny)
+        rs = px * py * (x - xny + y - xny) / (px + py - 2 * px * py)
+        jp = (xny - rs) / xuy
+        cp = (xny - rs) / mn
+        dmp = 0.0 if jp == 1 else -np.log(2 * jp / (1 + jp)) / kmerlen
+        dap = 0.0 if cp == 1 else -np.log(cp) / kmerlen
+        sdj = (jp * (1 - jp) / xuy) ** 0.5
+        sdc = (cp * (1 - cp) / mn) ** 0.5
+        cij = (jp - 1.96 * sdj, jp + 1.96 * sdj)
+        cic = (cp - 1.96 * sdc, cp + 1.96 * sdc)
+        cdm = tuple(
+            0.0 if v == 1 else -np.log(2 * v / (1 + v)) / kmerlen
+            for v in (cij[1], cij[0])
+        )
+        cda = tuple(
+            0.0 if v == 1 else -np.log(v) / kmerlen for v in (cic[1], cic[0])
+        )
+        pvj = 0.5 * math.erfc(float(jp / sdj) * 0.5**0.5)
+        pvc = 0.5 * math.erfc(float(cp / sdc) * 0.5**0.5)
+    f = lambda v: f"{float(v):.6f}"  # noqa: E731
+    e = lambda v: f"{float(v):E}"  # noqa: E731
+    return (
+        f"{qn}\t{rn}\t{f(abund)}\t{xny}-{int(rs)}|{x}|{y}"
+        f"\t{f(jac)}\t{f(dm)}\t{f(contain)}\t{f(da)}"
+        f"\t{f(jp)}[{f(cij[0])},{f(cij[1])}]\t{f(dmp)}[{f(cdm[0])},{f(cdm[1])}]"
+        f"\t{f(cp)}[{f(cic[0])},{f(cic[1])}]\t{f(dap)}[{f(cda[0])},{f(cda[1])}]"
+        f"\t{e(pvj)}\t{e(pvc)}\t{e(pvj * nref * nqry)}\t{e(pvc * nref * nqry)}\n"
+    )
+
+
+def test_koc_line_matches_oracle():
+    got = stats_ops.format_koc_pair_line(
+        "q", "r", 120, 100, 30, 75, 16, 4, 5, 3
+    )
+    want = _oracle_koc_line("q", "r", 120, 100, 30, 75, 16, 4, 5, 3)
+    assert got == want
+
+
+def test_koc_search_appends_weighted_rows(env, in_dir):
+    with in_dir(env):
+        out = search.search("x_ref", "x_koc", "d_koc", koc=True)
+        with open(out) as f:
+            lines = f.read().splitlines()
+        n_ref = formats.read_mco_stat("x_ref").infile_num
+        n_qry = formats.read_co_stat("x_koc").infile_num
+        # header + plain rows + appended koc rows for every pair
+        assert len(lines) == 1 + 2 * n_qry * n_ref
+        koc_rows = lines[1 + n_qry * n_ref:]
+        assert all(len(r.split("\t")) == 16 for r in koc_rows)
+        # weighted count >= plain count per pair (abundance >= 1)
+        plain = lines[1 : 1 + n_qry * n_ref]
+        for p, k in zip(plain, koc_rows):
+            xny = int(p.split("\t")[2].split("-")[0])
+            abund_pct = k.split("\t")[2]
+            if xny > 0:
+                assert float(abund_pct) >= 1.0
+
+
+def test_koc_weighted_counts_device_vs_host(env, in_dir):
+    with in_dir(env):
+        _, comps = index_mod.load_sparse_index("x_ref")
+        n_qry = formats.read_co_stat("x_koc").infile_num
+        codes, idx, abund = formats.read_combco("x_koc", 0, with_abund=True)
+        from public_kssd_tpu.ops import count as count_ops
+
+        dev = count_ops.count_shared_weighted(
+            codes, idx, abund.astype(np.uint32), comps[0], n_qry, True
+        )
+        host = count_ops.count_shared_weighted(
+            codes, idx, abund.astype(np.uint32), comps[0], n_qry, False
+        )
+        np.testing.assert_array_equal(dev, host)
