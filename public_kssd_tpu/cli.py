@@ -72,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-f", dest="skf", default="", help="shared-kmer matrix path")
     p.add_argument("--byread", action="store_true", help="sketch by read")
     p.add_argument("--component-sz", type=int, default=7, help="component space exponent [7]")
+    p.add_argument("--no-dense-index", action="store_true",
+                   help="skip the reference-format dense mco.index "
+                   "export (2 GiB at CSZ=7); our CSR sidecar is always "
+                   "written and is what search loads")
     p.add_argument("--no-compat-order", action="store_true",
                    help="fast device dedup; sketch files sorted, distances unchanged")
     p.add_argument("--cpu-count", action="store_true", help="count on host, not device")
@@ -265,10 +269,12 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
             })
             pipeline.run_stage1(files, args.outdir, params, perm, ref_opts,
                                 mem_gb=args.mmry)
-            index.run_stage2(args.outdir, args.outdir, args.component_sz)
+            index.run_stage2(args.outdir, args.outdir, args.component_sz,
+                             dense=not args.no_dense_index)
             args.refpath = args.outdir
         elif _is_co_dir(args.refpath) and not _is_mco_dir(args.refpath):
-            index.run_stage2(args.refpath, args.refpath, args.component_sz)
+            index.run_stage2(args.refpath, args.refpath, args.component_sz,
+                             dense=not args.no_dense_index)
 
     # --- query side (command_dist.c:108-190) ---
     if args.remaining or args.fpath:
@@ -310,7 +316,8 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
             return 0
         if qry_is_co:
             if len(args.remaining) == 1:
-                index.run_stage2(qry, args.outdir, args.component_sz)
+                index.run_stage2(qry, args.outdir, args.component_sz,
+                                 dense=not args.no_dense_index)
             else:
                 from public_kssd_tpu import combine
 

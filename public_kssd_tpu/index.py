@@ -77,20 +77,40 @@ def dense_to_sparse(row_offset: np.ndarray, gids: np.ndarray, n_genomes: int) ->
     )
 
 
-def run_stage2(co_dir: str, mco_dir: str, comp_sz: int) -> formats.McoStat:
+def _csr_paths(mco_dir: str, c: int) -> tuple[str, str]:
+    return (
+        os.path.join(mco_dir, f"mco.uniq.{c}"),
+        os.path.join(mco_dir, f"mco.csroff.{c}"),
+    )
+
+
+def run_stage2(
+    co_dir: str, mco_dir: str, comp_sz: int, dense: bool = True
+) -> formats.McoStat:
     """Build the reference-compatible index directory from a sketch dir.
 
-    Writes mcofiles.stat + mco.<c> + mco.index.<c> (dense format) into
-    ``mco_dir`` (usually the same directory, as the reference tutorial
-    does)."""
+    Writes mcofiles.stat + mco.<c> + mco.index.<c> (dense format, for
+    reference-binary interop) into ``mco_dir`` (usually the same
+    directory, as the reference tutorial does), PLUS a CSR sidecar
+    (mco.uniq.<c> uint32 + mco.csroff.<c> uint64) so our own search
+    loads in milliseconds instead of re-deriving CSR from the 2 GiB
+    dense rows (16^7 x 8 B at CSZ=7, co2mco.c:58-62 — ~2 min on a
+    2-vCPU host). ``dense=False`` skips the dense export entirely for
+    very large DBs."""
     co = formats.read_co_stat(co_dir)
     os.makedirs(mco_dir, exist_ok=True)
     comp_space = 1 << (4 * comp_sz)
     for c in range(co.comp_num):
         codes, index = formats.read_combco(co_dir, c)
         sp = build_component_index(codes, index, co.infile_num)
-        dense = sparse_to_dense_offsets(sp, comp_space)
-        formats.write_mco_component(mco_dir, c, dense, sp.gids)
+        up, op = _csr_paths(mco_dir, c)
+        sp.uniq_codes.astype("<u4").tofile(up)
+        sp.offsets.astype("<u8").tofile(op)
+        if dense:
+            dense_rows = sparse_to_dense_offsets(sp, comp_space)
+            formats.write_mco_component(mco_dir, c, dense_rows, sp.gids)
+        else:
+            sp.gids.astype("<u4").tofile(formats.mco_path(mco_dir, c))
     stat = formats.McoStat(
         params_id=co.params_id,
         kmerlen=co.kmerlen,
@@ -105,10 +125,25 @@ def run_stage2(co_dir: str, mco_dir: str, comp_sz: int) -> formats.McoStat:
 
 
 def load_sparse_index(mco_dir: str) -> tuple[formats.McoStat, list[SparseIndex]]:
-    """Load a reference-format index directory as CSR components."""
+    """Load an index directory as CSR components.
+
+    Prefers the CSR sidecar written by run_stage2; falls back to
+    deriving CSR from the reference's dense mco.index.<c> rows (so
+    databases built by the reference binary load unchanged)."""
     stat = formats.read_mco_stat(mco_dir)
     comps = []
     for c in range(stat.comp_num):
+        up, op = _csr_paths(mco_dir, c)
+        if os.path.isfile(up) and os.path.isfile(op):
+            comps.append(
+                SparseIndex(
+                    uniq_codes=np.fromfile(up, dtype="<u4"),
+                    offsets=np.fromfile(op, dtype="<u8"),
+                    gids=np.fromfile(formats.mco_path(mco_dir, c), dtype="<u4"),
+                    n_genomes=stat.infile_num,
+                )
+            )
+            continue
         row_offset, gids = formats.read_mco_component(mco_dir, c)
         comps.append(dense_to_sparse(row_offset, gids, stat.infile_num))
     return stat, comps

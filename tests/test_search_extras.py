@@ -156,3 +156,37 @@ def test_koc_weighted_counts_device_vs_host(env, in_dir):
             codes, idx, abund.astype(np.uint32), comps[0], n_qry, False
         )
         np.testing.assert_array_equal(dev, host)
+
+
+def test_csr_sidecar_matches_dense_fallback(env, in_dir, tmp_path):
+    """load_sparse_index must return identical CSR whether it reads the
+    sidecar (our stage II) or derives it from the dense reference rows."""
+    import shutil
+
+    with in_dir(env):
+        _, with_sidecar = index_mod.load_sparse_index("x_ref")
+        tmp = str(tmp_path / "nosidecar")
+        shutil.copytree("x_ref", tmp)
+        for c in range(formats.read_mco_stat("x_ref").comp_num):
+            up, op = index_mod._csr_paths(tmp, c)
+            os.remove(up)
+            os.remove(op)
+        _, derived = index_mod.load_sparse_index(tmp)
+        for a, b in zip(with_sidecar, derived):
+            np.testing.assert_array_equal(a.uniq_codes, b.uniq_codes)
+            np.testing.assert_array_equal(a.offsets, b.offsets)
+            np.testing.assert_array_equal(a.gids, b.gids)
+
+
+def test_no_dense_index_search(env, in_dir, tmp_path):
+    """dense=False skips the 2 GiB export; search output is unchanged."""
+    with in_dir(env):
+        slim = str(tmp_path / "slim_ref")
+        index_mod.run_stage2("x_ref", slim, 7, dense=False)
+        assert not os.path.exists(os.path.join(slim, "mco.index.0"))
+        search.search(slim, "x_qry", "d_slim")
+        search.search("x_ref", "x_qry", "d_full")
+        assert_files_equal(
+            os.path.join("d_full", "distance.out"),
+            os.path.join("d_slim", "distance.out"),
+        )
