@@ -62,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-N", dest="num_neigb", type=int, default=0, help="top-N refs [0=all]")
     p.add_argument("-D", dest="mut_dist_max", type=float, default=1.0, help="max distance")
     p.add_argument("-M", dest="metric", type=int, default=0, help="0 Jaccard / 1 Containment")
-    p.add_argument("-O", dest="outfields", type=int, default=2, help="0 dist / 1 +qv / 2 +CI")
+    p.add_argument("-O", dest="outfields", type=int, default=2, help="0 dist / 1 +qv / 2 +CI / 3 full 4-metric table")
     p.add_argument("--correction", type=int, default=0, help="shared-count correction")
     p.add_argument("-A", dest="abundance", action="store_true", help="abundance (koc) mode")
     p.add_argument("-u", dest="dedup", action="store_true", help="drop repeated ref k-mers")
@@ -109,6 +109,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--component-sz", type=int, default=7)
     p.add_argument("remaining", nargs="*", help="co dir")
 
+    p = sub.add_parser("convert", help="composite output -> Krona/QIIME/CAMI"
+                       " (ports of src/*.pl, see postproc.py)")
+    p.add_argument("mode", choices=["krona", "qiime", "cami"])
+    p.add_argument("-t", dest="tax", default="",
+                   help="psid->taxonomy tsv (krona) / psid->ncbi tsv (cami)")
+    p.add_argument("-n", dest="nodes", default="",
+                   help="taxid,rank,parent,name tsv (cami)")
+    p.add_argument("-o", dest="outdir", default="./convert_out")
+    p.add_argument("inputs", nargs="+",
+                   help="composite report (krona/cami) or Krona tables (qiime)")
+
     p = sub.add_parser("composite", help="metagenomic composition analysis")
     p.add_argument("-r", dest="refdir", default="", help="reference sketch dir")
     p.add_argument("-q", dest="qrydir", default="", help="query koc sketch dir")
@@ -142,6 +153,10 @@ def _dispatch(args) -> int:
         from public_kssd_tpu import composite
 
         return composite.cmd_composite(args)
+    if args.command == "convert":
+        from public_kssd_tpu import postproc
+
+        return postproc.cmd_convert(args)
     return 2
 
 

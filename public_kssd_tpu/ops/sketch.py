@@ -523,10 +523,19 @@ def sketch_codes_multi(
     bounds = [0]
 
     def pieces():
+        # a stream may itself be an iterator of symbol pieces (the
+        # bounded-RAM file streaming of seqio.stream_*_codes)
         for s in streams:
-            yield s
+            if isinstance(s, np.ndarray):
+                size = s.size
+                yield s
+            else:
+                size = 0
+                for p in s:
+                    size += p.size
+                    yield p
             yield brk
-            bounds.append(bounds[-1] + s.size + 1)
+            bounds.append(bounds[-1] + size + 1)
 
     codes, pos = _stream_packed(pieces(), shuffled_dim, params, block)
     nb = np.asarray(bounds, dtype=np.int64)  # complete once collected

@@ -38,6 +38,7 @@ class Fields(IntEnum):  # PFIELD (command_dist_wrapper.h:23)
     DIST = 0
     QV = 1
     CI = 2
+    FULL = 3  # extension: the README-documented 4-metric table (README.md:48-64)
 
 
 @dataclasses.dataclass
@@ -166,14 +167,21 @@ def write_distance_out(
     """Emit distance.out (dist_print_nobin, command_dist.c:1161-1250)."""
     n_qry, n_ref = counts.shape
     cmprsn_num = n_ref * n_qry
+    full = opts.fields == Fields.FULL
     with open(path, "w") as f:
-        f.write(format_header(opts))
+        f.write(FULL_HEADER if full else format_header(opts))
         for q in range(n_qry):
             y = int(qry_sizes[q])
             rids = range(n_ref)
             if opts.top_n:
                 rids = _top_n_rids(counts[q], ref_sizes, y, opts)
             for r in rids:
+                if full:
+                    f.write(format_full_pair_line(
+                        qry_names[q], ref_names[r], int(ref_sizes[r]), y,
+                        int(counts[q, r]), kmerlen, dim_rd_len, n_ref, n_qry,
+                    ))
+                    continue
                 line = format_pair_line(
                     qry_names[q],
                     ref_names[r],
@@ -189,31 +197,16 @@ def write_distance_out(
                     f.write(line)
 
 
-def format_koc_pair_line(
-    qname: str,
-    rname: str,
-    x_size: int,
-    y_size: int,
-    xny: int,
-    shared_koc: int,
-    kmerlen: int,
-    dim_rd_len: int,
-    ref_num: int,
-    qry_num: int,
-) -> str:
-    """One abundance-weighted line, mirroring koc_dist_print_nobin's
-    printf (command_dist.c:1148-1153) exactly.
-
-    That reference path is UNREACHABLE dead code (no caller of
-    koc_dist_print_nobin or mco_cbd_koc_compatible_dist exists;
-    dist_dispatch only reaches mco_cbdco_nobin_dist, command_dist.c:134),
-    so there is no binary to golden-test against — this port reproduces
-    its arithmetic and formatting and is pinned by a Python oracle test.
-    """
+def _full_pair_stats(
+    x_size: int, y_size: int, xny: int, kmerlen: int, dim_rd_len: int,
+    ref_num: int, qry_num: int,
+) -> dict:
+    """The shared 4-metric + corrected-CI + p/q body of the reference's
+    full-table printers (fname_dist_print command_dist.c:1041-1075 and
+    koc_dist_print_nobin :1106-1147), with C float semantics."""
     xuy = x_size + y_size - xny
     min_xy = min(x_size, y_size)
     x_only, y_only = x_size - xny, y_size - xny
-    abund_pct = _c_div(float(shared_koc), float(xny))
     jac = _c_div(float(xny), float(xuy))
     contain = _c_div(float(xny), float(min_xy))
     dm = 0.0 if jac == 1 else -_log(_c_div(2 * jac, 1 + jac)) / kmerlen
@@ -238,15 +231,88 @@ def format_koc_pair_line(
     q_c = _c_div(c_prim, sd_c)
     pv_j = q_j if math.isnan(q_j) else 0.5 * _erfc(q_j * math.sqrt(0.5))
     pv_c = q_c if math.isnan(q_c) else 0.5 * _erfc(q_c * math.sqrt(0.5))
-    qv_j, qv_c = pv_j * ref_num * qry_num, pv_c * ref_num * qry_num
+    return dict(
+        jac=jac, contain=contain, dm=dm, da=da, rs=rs,
+        j_prim=j_prim, c_prim=c_prim, dm_prim=dm_prim, da_prim=da_prim,
+        ci_j=(ci_j1, ci_j2), ci_c=(ci_c1, ci_c2),
+        ci_dm=(ci_dm1, ci_dm2), ci_da=(ci_da1, ci_da2),
+        pv_j=pv_j, pv_c=pv_c,
+        qv_j=pv_j * ref_num * qry_num, qv_c=pv_c * ref_num * qry_num,
+    )
+
+
+def format_koc_pair_line(
+    qname: str,
+    rname: str,
+    x_size: int,
+    y_size: int,
+    xny: int,
+    shared_koc: int,
+    kmerlen: int,
+    dim_rd_len: int,
+    ref_num: int,
+    qry_num: int,
+) -> str:
+    """One abundance-weighted line, mirroring koc_dist_print_nobin's
+    printf (command_dist.c:1148-1153) exactly.
+
+    That reference path is UNREACHABLE dead code (no caller of
+    koc_dist_print_nobin or mco_cbd_koc_compatible_dist exists;
+    dist_dispatch only reaches mco_cbdco_nobin_dist, command_dist.c:134),
+    so there is no binary to golden-test against — this port reproduces
+    its arithmetic and formatting and is pinned by a Python oracle test.
+    """
+    s = _full_pair_stats(x_size, y_size, xny, kmerlen, dim_rd_len,
+                         ref_num, qry_num)
+    abund_pct = _c_div(float(shared_koc), float(xny))
     f = lambda x: fmt_double(x, "f")  # noqa: E731
     e = lambda x: fmt_double(x, "E")  # noqa: E731
     return (
-        f"{qname}\t{rname}\t{f(abund_pct)}\t{xny}-{_uint(rs)}|{x_size}|{y_size}"
-        f"\t{f(jac)}\t{f(dm)}\t{f(contain)}\t{f(da)}"
-        f"\t{f(j_prim)}[{f(ci_j1)},{f(ci_j2)}]\t{f(dm_prim)}[{f(ci_dm1)},{f(ci_dm2)}]"
-        f"\t{f(c_prim)}[{f(ci_c1)},{f(ci_c2)}]\t{f(da_prim)}[{f(ci_da1)},{f(ci_da2)}]"
-        f"\t{e(pv_j)}\t{e(pv_c)}\t{e(qv_j)}\t{e(qv_c)}\n"
+        f"{qname}\t{rname}\t{f(abund_pct)}\t{xny}-{_uint(s['rs'])}|{x_size}|{y_size}"
+        f"\t{f(s['jac'])}\t{f(s['dm'])}\t{f(s['contain'])}\t{f(s['da'])}"
+        f"\t{f(s['j_prim'])}[{f(s['ci_j'][0])},{f(s['ci_j'][1])}]"
+        f"\t{f(s['dm_prim'])}[{f(s['ci_dm'][0])},{f(s['ci_dm'][1])}]"
+        f"\t{f(s['c_prim'])}[{f(s['ci_c'][0])},{f(s['ci_c'][1])}]"
+        f"\t{f(s['da_prim'])}[{f(s['ci_da'][0])},{f(s['ci_da'][1])}]"
+        f"\t{e(s['pv_j'])}\t{e(s['pv_c'])}\t{e(s['qv_j'])}\t{e(s['qv_c'])}\n"
+    )
+
+
+FULL_HEADER = (
+    "Qry\tRef\tShared_k|Ref_s|Qry_s\tJaccard\tMashD\tContainmentM\tAafD"
+    "\tJaccard_CI\tMashD_CI\tContainmentM_CI\tAafD_CI"
+    "\tP-value(J)\tP-value(C)\tFDR(J)\tFDR(C)\n"
+)
+
+
+def format_full_pair_line(
+    qname: str,
+    rname: str,
+    x_size: int,
+    y_size: int,
+    xny: int,
+    kmerlen: int,
+    dim_rd_len: int,
+    ref_num: int,
+    qry_num: int,
+) -> str:
+    """One full 4-metric line: the output the README documents
+    (README.md:48-64), produced in the reference only by the UNREACHABLE
+    legacy path fname_dist_print (command_dist.c:1070-1075 printf).
+    Exposed here as ``-O 3`` so the documented table is actually
+    obtainable."""
+    s = _full_pair_stats(x_size, y_size, xny, kmerlen, dim_rd_len,
+                         ref_num, qry_num)
+    f = lambda x: fmt_double(x, "f")  # noqa: E731
+    e = lambda x: fmt_double(x, "E")  # noqa: E731
+    return (
+        f"{qname}\t{rname}\t{xny}-{_uint(s['rs'])}|{x_size}|{y_size}"
+        f"\t{f(s['jac'])}\t{f(s['dm'])}\t{f(s['contain'])}\t{f(s['da'])}"
+        f"\t[{f(s['ci_j'][0])},{f(s['ci_j'][1])}]"
+        f"\t[{f(s['ci_dm'][0])},{f(s['ci_dm'][1])}]"
+        f"\t[{f(s['ci_c'][0])},{f(s['ci_c'][1])}]"
+        f"\t[{f(s['ci_da'][0])},{f(s['ci_da'][1])}]"
+        f"\t{e(s['pv_j'])}\t{e(s['pv_c'])}\t{e(s['qv_j'])}\t{e(s['qv_c'])}\n"
     )
 
 

@@ -81,13 +81,13 @@ def merge_components(
     return key, offsets, gid
 
 
-def query_keys(qry_dir: str, params: SketchParams) -> tuple[np.ndarray, np.ndarray]:
+def query_keys(qry_dir: str, comp_code_bits: int) -> tuple[np.ndarray, np.ndarray]:
     """All query codes of a sketch dir as merged uint64 keys + query ids."""
     stat = formats.read_co_stat(qry_dir)
     keys, qids = [], []
     for c in range(stat.comp_num):
         codes, index = formats.read_combco(qry_dir, c)
-        keys.append((codes.astype(np.uint64) << np.uint64(params.comp_code_bits))
+        keys.append((codes.astype(np.uint64) << np.uint64(comp_code_bits))
                     | np.uint64(c))
         qids.append(
             np.searchsorted(
@@ -190,20 +190,23 @@ def make_sharded_count_fn(
 def sharded_search_counts(
     qry_dir: str,
     components: list[SparseIndex],
-    params: SketchParams,
+    comp_code_bits: int | SketchParams,
     mesh: Mesh,
     qry_axis: str = "dp",
     ref_axis: str = "ref",
 ) -> np.ndarray:
     """End-to-end sharded counting of a query sketch dir against CSR
-    components; returns uint32 [n_qry, n_ref]."""
+    components; returns uint32 [n_qry, n_ref]. ``comp_code_bits`` is the
+    component-fold shift (SketchParams accepted for convenience)."""
+    if isinstance(comp_code_bits, SketchParams):
+        comp_code_bits = comp_code_bits.comp_code_bits
     n_ref = components[0].n_genomes
-    key, offsets, gids = merge_components(components, params.comp_code_bits)
+    key, offsets, gids = merge_components(components, comp_code_bits)
     n_ref_shards = mesh.shape[ref_axis]
     n_dp = mesh.shape[qry_axis]
     db = build_sharded_db(key, offsets, gids, n_ref, n_ref_shards)
 
-    qk, qq = query_keys(qry_dir, params)
+    qk, qq = query_keys(qry_dir, comp_code_bits)
     stat = formats.read_co_stat(qry_dir)
     n_qry = stat.infile_num
     # partition queries over dp: contiguous query-id blocks

@@ -47,14 +47,31 @@ class SketchOptions:
     compat_order: bool = True
 
 
-def parse_one(path: str, opts: SketchOptions) -> np.ndarray:
-    """Host parse of one input file into a symbol stream."""
+STREAM_BYTES = 512 << 20  # stream files whose decompressed size may exceed this
+
+
+def parse_one(path: str, opts: SketchOptions):
+    """Host parse of one input file into a symbol stream.
+
+    Small files return one array; files estimated to decompress past
+    STREAM_BYTES return a lazy piece iterator (seqio.stream_*_codes) so
+    host RSS stays bounded — the streaming counterpart of the
+    reference's 64 KB rolling buffer (iseq2comem.c:207-212).
+    """
+    est = os.path.getsize(path)
+    if path.endswith((".gz", ".bz2")):
+        est *= 4
+    is_fastq = infiles.is_fastq(path) or bool(opts.pipecmd)
+    min_qual = 0 if opts.abundance else opts.min_qual
+    if est > STREAM_BYTES:
+        if is_fastq:
+            return seqio.stream_fastq_codes(path, min_qual, opts.pipecmd)
+        return seqio.stream_fasta_codes(path, opts.pipecmd)
     raw = seqio.read_bytes(path, opts.pipecmd)
-    if infiles.is_fastq(path) or bool(opts.pipecmd):
-        if opts.abundance:
-            # mt_shortreads2koc (iseq2comem.c:552-615): no quality filter
-            return seqio.fastq_to_codes(raw, min_qual=0)
-        return seqio.fastq_to_codes(raw, min_qual=opts.min_qual)
+    if is_fastq:
+        # abundance mode: mt_shortreads2koc has no quality filter
+        # (iseq2comem.c:552-615)
+        return seqio.fastq_to_codes(raw, min_qual=min_qual)
     return seqio.fasta_to_codes(raw)
 
 
@@ -202,7 +219,11 @@ def run_stage1(
             ):
                 gi_, path_, sym_ = pending_item
                 group_meta.append((gi_, path_))
-                used += sym_.size
+                # a lazily-streamed big file (piece iterator) fills the
+                # rest of its group by itself
+                used += (
+                    sym_.size if isinstance(sym_, np.ndarray) else group_budget
+                )
                 with timer.stage("parse_wait"):
                     pending_item = next(stream_iter, None)
                 yield sym_

@@ -129,18 +129,17 @@ def search(
             _, comps = index_mod.load_sparse_index(ref_dir)
         with timer.stage("count"):
             if mesh is not None:
-                from public_kssd_tpu.config import SketchParams
                 from public_kssd_tpu.parallel import sharded_search
 
-                params = SketchParams(
-                    id=mco_stat.params_id,
-                    half_ctx_len=mco_stat.kmerlen // 2,
-                    half_subctx_len=min(mco_stat.kmerlen // 2, 7),
-                    drlevel=mco_stat.dim_rd_len // 2,
-                    component_sz=component_sz,
+                # component-fold shift straight from the stat geometry
+                # (comp_num = 16^(k-l-CSZ)): no fabricated SketchParams
+                comp_code_bits = max(
+                    4 * (mco_stat.kmerlen // 2 - mco_stat.dim_rd_len // 2
+                         - component_sz), 0,
                 )
+                assert (1 << comp_code_bits) >= mco_stat.comp_num
                 counts = sharded_search.sharded_search_counts(
-                    qry_dir, comps, params, mesh
+                    qry_dir, comps, comp_code_bits, mesh
                 )
                 counts.astype("<u4").tofile(skf)
             else:

@@ -61,6 +61,98 @@ def read_bytes(path: str, pipecmd: str | None = None) -> bytes:
         return f.read()
 
 
+def _open_stream(path: str, pipecmd: str | None = None):
+    """Open a (possibly compressed) file as a binary stream."""
+    if pipecmd:
+        proc = subprocess.Popen(
+            f"{pipecmd} {path}", shell=True, stdout=subprocess.PIPE
+        )
+        return proc.stdout
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+def stream_fasta_codes(path, pipecmd=None, chunk_bytes: int = 1 << 26):
+    """Lazily yield symbol-array pieces of a fasta file: bounded host RAM
+    for arbitrarily large inputs (the streaming counterpart of the
+    reference's 64 KB rolling buffer, iseq2comem.c:207-212).
+
+    Pieces concatenate to the same BASE RUNS as the whole-file parse
+    (sketch codes identical); break runs at piece boundaries may stay
+    uncollapsed, which shifts positions but never windows. Each raw
+    chunk is cut at its final newline so header state ('>' .. '\\n')
+    never spans chunks; a sentinel base at each edge stops the scanner's
+    boundary-BREAK trimming from merging runs across chunks.
+    """
+    f = _open_stream(path, pipecmd)
+    try:
+        rem = b""
+        while True:
+            buf = f.read(chunk_bytes)
+            if not buf:
+                break
+            buf = rem + buf
+            cut = buf.rfind(b"\n")
+            if cut < 0:
+                rem = buf
+                continue
+            block, rem = buf[: cut + 1], buf[cut + 1 :]
+            piece = fasta_to_codes(b"A" + block + b"\nA")[1:-1]
+            if piece.size:
+                yield piece
+        if rem:
+            piece = fasta_to_codes(b"A" + rem + b"\nA")[1:-1]
+            if piece.size:
+                yield piece
+    finally:
+        f.close()
+
+
+def stream_fastq_codes(
+    path, min_qual: int = 0, pipecmd=None, chunk_bytes: int = 1 << 26
+):
+    """Lazily yield symbol-array pieces of a fastq file (bounded RAM).
+
+    Chunks are cut at complete 4-line records, so the stateless record
+    parser applies per chunk; an explicit BREAK joins chunks (a record
+    boundary is a break by definition)."""
+    f = _open_stream(path, pipecmd)
+    brk = np.array([BREAK], dtype=np.uint8)
+    try:
+        rem = b""
+        first = True
+        while True:
+            buf = f.read(chunk_bytes)
+            if not buf:
+                break
+            buf = rem + buf
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            nl = np.flatnonzero(arr == ord("\n"))
+            keep = nl.size - (nl.size % 4)
+            if keep == 0:
+                rem = buf
+                continue
+            cut = int(nl[keep - 1]) + 1
+            block, rem = buf[:cut], buf[cut:]
+            piece = fastq_to_codes(block, min_qual)
+            if piece.size:
+                if not first:
+                    yield brk
+                first = False
+                yield piece
+        if rem:
+            piece = fastq_to_codes(rem, min_qual)
+            if piece.size:
+                if not first:
+                    yield brk
+                yield piece
+    finally:
+        f.close()
+
+
 def fasta_to_codes(raw: bytes) -> np.ndarray:
     """Parse a fasta byte stream into a code/BREAK symbol array.
 

