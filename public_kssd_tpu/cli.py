@@ -109,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--component-sz", type=int, default=7)
     p.add_argument("remaining", nargs="*", help="co dir")
 
+    sub.add_parser("primer", help=argparse.SUPPRESS)  # hidden, like the
+    # reference: prints the largest prime below 2^i for i in 8..51
+    # (global_wrapper.c:107-109, find_lgst_primer_2pow global_basic.c:364-388)
+
     p = sub.add_parser("convert", help="composite output -> Krona/QIIME/CAMI"
                        " (ports of src/*.pl, see postproc.py)")
     p.add_argument("mode", choices=["krona", "qiime", "cami"])
@@ -157,6 +161,23 @@ def _dispatch(args) -> int:
         from public_kssd_tpu import postproc
 
         return postproc.cmd_convert(args)
+    if args.command == "primer":
+        from public_kssd_tpu.config import (
+            DEFAULT_CTX_SPC_USE_L, LD_FCTR, largest_prime_below_pow2,
+        )
+
+        # byte-identical to the reference (find_lgst_primer_2pow's
+        # diagnostics, global_basic.c:372, then the dispatch printf,
+        # global_wrapper.c:109)
+        for w in range(8, 52):
+            n = 1 << w
+            hshsz = int(float(n) * DEFAULT_CTX_SPC_USE_L / LD_FCTR)
+            print(f"w={w}\tspace_sz={n}\thashsize={hshsz}"
+                  f"\tkmerlimt={int(hshsz * LD_FCTR)}")
+            p = largest_prime_below_pow2(w)
+            print(f"nearest prime={p}")
+            print(p)
+        return 0
     return 2
 
 

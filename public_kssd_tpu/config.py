@@ -207,3 +207,36 @@ class SketchParams:
             drlevel=drlevel,
             component_sz=component_sz,
         )
+
+
+def _is_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin for n < 3.3e24 (fixed witness set)."""
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def largest_prime_below_pow2(w: int) -> int:
+    """Largest prime < 2^w (find_lgst_primer_2pow, global_basic.c:364-388;
+    used by the hidden ``primer`` subcommand, global_wrapper.c:107-109)."""
+    n = (1 << w) - 1
+    while not _is_prime(n):
+        n -= 2 if n % 2 else 1
+    return n
