@@ -32,6 +32,10 @@ def initialize(coordinator_address: str | None = None,
     import jax
 
     if coordinator_address is not None:
+        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            # cross-process collectives on the CPU backend need gloo
+            # (multi-host CI / local testing; TPU slices use ICI/DCN)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -247,16 +247,27 @@ def sharded_search_counts(
     qk_flat = qk_pad.reshape(-1)
     qq_flat = qq_pad.reshape(-1)
     # explicit sharded placement: each device receives ONLY its DB shard
-    # slice (no whole-DB device replication on the way in)
+    # slice (no whole-DB device replication on the way in). Built with
+    # make_array_from_callback so the SAME code runs multi-process
+    # (jax.distributed): each process materialises only the shards its
+    # local devices own.
     sh_dp = NamedSharding(mesh, P(qry_axis))
     sh_ref = NamedSharding(mesh, P(ref_axis, None))
+
+    def put(arr, sh):
+        return jax.make_array_from_callback(arr.shape, sh, lambda i: arr[i])
+
     with mesh:
         out = fn(
-            jax.device_put(qk_flat, sh_dp), jax.device_put(qq_flat, sh_dp),
-            jax.device_put(db.uniq, sh_ref),
-            jax.device_put(db.offsets, sh_ref),
-            jax.device_put(db.gids, sh_ref),
+            put(qk_flat, sh_dp), put(qq_flat, sh_dp),
+            put(db.uniq, sh_ref), put(db.offsets, sh_ref),
+            put(db.gids, sh_ref),
         )
-    counts = np.asarray(out)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        counts = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+    else:
+        counts = np.asarray(out)
     # counts rows are per-dp-shard blocks stacked: [n_dp*per_dp, n_ref]
     return counts[:n_qry]
