@@ -311,17 +311,24 @@ def _iter_chunks(pieces, block: int, W: int):
     blocks of at most ``block`` symbols, consecutive blocks overlapping
     by W-1 so every window is seen exactly once (the chunked-sequence
     streaming of SURVEY.md §5). Consumes ``pieces`` lazily — upstream
-    parsing overlaps downstream packing/upload/compute."""
+    parsing overlaps downstream packing/upload/compute.
+
+    Block sizes RAMP UP (4M -> 8M -> ... -> block): the first upload
+    starts as soon as ~one genome has parsed instead of waiting for a
+    full block's worth, shaving the pipeline head latency; steady state
+    uses full blocks (fewer dispatch/fetch round trips)."""
     carry = np.zeros(0, np.uint8)
     gstart = 0
+    target = min(1 << 22, block)
     for piece in pieces:
         if piece.size == 0:
             continue
         carry = np.concatenate([carry, piece]) if carry.size else piece
-        while carry.size >= block:
-            yield gstart, carry[:block]
-            gstart += block - (W - 1)
-            carry = carry[block - (W - 1):]
+        while carry.size >= target:
+            yield gstart, carry[:target]
+            gstart += target - (W - 1)
+            carry = carry[target - (W - 1):]
+            target = min(target * 2, block)
     if carry.size >= W:
         yield gstart, carry
 
