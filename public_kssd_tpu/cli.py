@@ -115,7 +115,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("convert", help="composite output -> Krona/QIIME/CAMI"
                        " (ports of src/*.pl, see postproc.py)")
-    p.add_argument("mode", choices=["krona", "qiime", "cami"])
+    p.add_argument("mode", choices=[
+        "krona", "qiime", "cami",
+        # the nine small src/*.pl utilities (postproc.py)
+        "extract-taxid", "ac2psid", "csv-subset", "ncbi-ftp",
+        "kmer-finder", "species2psid", "species2ncbi", "abv-meta",
+        "psid2ncbitax",
+    ])
     p.add_argument("-t", dest="tax", default="",
                    help="psid->taxonomy tsv (krona) / psid->ncbi tsv (cami)")
     p.add_argument("-n", dest="nodes", default="",

@@ -226,6 +226,8 @@ def composite_to_cami(
 
 def cmd_convert(args) -> int:
     """CLI dispatch for the ``convert`` subcommand."""
+    import sys
+
     if args.mode == "krona":
         p = composite_to_krona(args.inputs[0], args.tax, args.outdir)
         print(p)
@@ -234,9 +236,233 @@ def cmd_convert(args) -> int:
         merge_krona_to_qiime(args.outdir, args.inputs)
         return 0
     if args.mode == "cami":
-        text = composite_to_cami(args.inputs[0], args.tax, args.nodes)
-        import sys
-
-        sys.stdout.write(text)
+        sys.stdout.write(composite_to_cami(args.inputs[0], args.tax, args.nodes))
+        return 0
+    two_arg = {
+        "extract-taxid": extract_taxid,
+        "ac2psid": ac2pseudotaxid,
+        "csv-subset": csv_table_subset,
+        "species2psid": gtdbspecies2pseudo_taxid,
+        "species2ncbi": gtdbspecies2ncbitaxonomy,
+        "abv-meta": abv_match_metadata,
+    }
+    if args.mode in two_arg:
+        sys.stdout.write(two_arg[args.mode](args.inputs[0], args.inputs[1]))
+        return 0
+    if args.mode == "ncbi-ftp":
+        sys.stdout.write(ncbi_accession2ftp(args.inputs[0]))
+        return 0
+    if args.mode == "kmer-finder":
+        for s in kmer_finder(args.inputs[0], int(args.inputs[1])):
+            print(s)
+        return 0
+    if args.mode == "psid2ncbitax":
+        sys.stdout.write(gtdbpsid2ncbitax_by_genomesupport(
+            args.inputs[0], bool(int(args.inputs[1]))))
         return 0
     return 2
+
+
+# ---------------------------------------------------------------------------
+# the nine remaining src/*.pl utilities (complete C16 coverage); all are
+# line-oriented tsv/text transformers returning the exact stdout text the
+# Perl produces (golden-tested against the originals)
+# ---------------------------------------------------------------------------
+
+_GCA_RE = re.compile(r"(GC[AF]_[0-9.]+)")
+
+
+def extract_taxid(genomelist: str, g2t_tsv: str) -> str:
+    """src/extract_taxid.pl: genome ids -> taxid [+ name] table."""
+    h = {}
+    with open(g2t_tsv) as f:
+        for line in f:
+            parts = re.split(r"\t+", line.rstrip("\n"))
+            gid, taxid = parts[0], parts[1]
+            h[gid] = taxid + "\t" + parts[2] if len(parts) > 2 else taxid
+    out = []
+    with open(genomelist) as f:
+        for line in f:
+            m = _GCA_RE.search(line.rstrip("\n"))
+            gid = m.group(1) if m else ""
+            out.append(f"{gid}\t{h.get(gid, '0')}")
+    return "\n".join(out) + "\n" if out else ""
+
+
+def ac2pseudotaxid(accessions: str, ac2tid_tsv: str) -> str:
+    """src/ac2pseudotaxid.pl: accessions -> pseudo-taxid [+ name]."""
+    h = {}
+    with open(ac2tid_tsv) as f:
+        for line in f:
+            parts = re.split(r"\t+", line.rstrip("\n"))
+            h[parts[0]] = "\t".join(parts[1:3]) if len(parts) > 2 else parts[1]
+    out = []
+    with open(accessions) as f:
+        for line in f:
+            ac = line.rstrip("\n")
+            out.append(f"{ac}\t{h.get(ac, '0')}")
+    return "\n".join(out) + "\n" if out else ""
+
+
+def csv_table_subset(all_csv: str, selected_tsv: str) -> str:
+    """src/csv_table_subset.pl: keep csv rows whose first comma field is
+    listed in the first tab field of ``selected_tsv``."""
+    keep = set()
+    with open(selected_tsv) as f:
+        for line in f:
+            keep.add(line.rstrip("\n").split("\t")[0])
+    out = []
+    with open(all_csv) as f:
+        for line in f:
+            row = line.rstrip("\n")
+            if row.split(",")[0] in keep:
+                out.append(row)
+    return "\n".join(out) + "\n" if out else ""
+
+
+def ncbi_accession2ftp(tsv: str) -> str:
+    """src/NCBIaccession2ftp_address.pl: accession+ASM id -> rsync URL."""
+    out = []
+    with open(tsv) as f:
+        for line in f:
+            parts = re.split(r"\t+", line.rstrip("\n"))
+            ac, asm = parts[0], parts[1]
+            fac = _GCA_RE.search(ac).group(1)
+            asm = re.sub(r"\s", "_", asm)
+            gc, num = fac.split("_")[:2]
+            m = re.search(r"(\d{3})(\d{3})(\d{3})", num)
+            n1, n2, n3 = m.group(1), m.group(2), m.group(3)
+            out.append(
+                f"rsync://ftp.ncbi.nlm.nih.gov/genomes/all/{gc}/{n1}/{n2}/{n3}"
+                f"/{fac}_{asm}/{fac}_{asm}_genomic.fna.gz"
+            )
+    return "\n".join(out) + "\n" if out else ""
+
+
+_RC = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+
+
+def kmer_finder(fasta: str, k: int) -> list[str]:
+    """src/kmer_finder.pl: distinct canonical k-mer STRINGS of a fasta
+    (case preserved, canonical = lexicographic min of k-mer vs revcomp).
+    Returned in first-seen order; the Perl prints hash order, which is
+    randomized per process — compare as sets."""
+    seen: dict[bytes, None] = {}
+    with open(fasta, "rb") as f:
+        data = f.read()
+    for rec in data.split(b">"):
+        if not rec:
+            continue
+        lines = rec.split(b"\n")
+        read = b"".join(lines[1:])
+        for i in range(len(read) - k + 1):
+            kmer = read[i : i + k]
+            rc = kmer.translate(_RC)[::-1]
+            seen.setdefault(min(kmer, rc), None)
+    return [s.decode() for s in seen]
+
+
+def gtdbspecies2pseudo_taxid(namelist: str, tid2species_tsv: str) -> str:
+    """src/gtdbspecies2pseudo_taxid.pl."""
+    h = {}
+    with open(tid2species_tsv) as f:
+        for line in f:
+            parts = re.split(r"\t+", line.rstrip("\n"))
+            h[parts[1]] = re.sub(r"\s+", "", parts[0])
+    out = []
+    with open(namelist) as f:
+        for line in f:
+            name = re.split(r"\t+", line.rstrip("\n"))[0]
+            out.append(f"{h.get(name, '0')}\t{name}")
+    return "\n".join(out) + "\n" if out else ""
+
+
+def gtdbspecies2ncbitaxonomy(specieslist: str, gtdb2ncbi_tsv: str) -> str:
+    """src/gtdbspecies2ncbitaxonomy.pl: gtdb species -> '|'-joined
+    ncbiid_name alternatives."""
+    h: dict[str, str] = {}
+    with open(gtdb2ncbi_tsv) as f:
+        for line in f:
+            parts = re.split(r"\t+", line.rstrip("\n"))
+            gtdb, ncbi_id, ncbi_tax = parts[0], parts[1], parts[2]
+            m = re.search(r";s__(.+)", gtdb)
+            if m:
+                ent = f"{ncbi_id}_{ncbi_tax}"
+                key = m.group(1)
+                h[key] = h[key] + "|" + ent if key in h else ent
+    out = []
+    with open(specieslist) as f:
+        for line in f:
+            sp = line.rstrip("\n")
+            out.append(f"{sp}\t{h.get(sp, '0')}")
+    return "\n".join(out) + "\n" if out else ""
+
+
+def abv_match_metadata(abv_out: str, meta_csv: str) -> str:
+    """src/abv_match_metaData.pl: join abv-search output with run
+    metadata (bioproject, biosample, organism)."""
+    with open(meta_csv) as f:
+        head = f.readline().rstrip("\n").split(",")
+        c2, c3, c4 = head[1], head[2], head[3]
+        h = {}
+        for line in f:
+            parts = line.rstrip("\n").split(",")
+            # perl quirk: list-assignment split keeps trailing EMPTY
+            # fields (implicit limit), and `defined ""` is true — so a
+            # row like "R2,P2,," IS stored with empty sample/organism
+            if len(parts) >= 4:
+                h[parts[0]] = "\t".join(parts[1:4])
+    out = []
+    with open(abv_out) as f:
+        for line in f:
+            name, measure = line.rstrip("\n").split("\t")[:2]
+            if not name.endswith(".abv"):
+                out.append(f"{name}\t{measure}\t{c2}\t{c3}\t{c4}")
+            else:
+                name = name[: -len(".abv")]
+                out.append(f"{name}\t{measure}\t" + h.get(name, "NA\tNA\tNA"))
+    return "\n".join(out) + "\n" if out else ""
+
+
+def gtdbpsid2ncbitax_by_genomesupport(tsv: str, all_rows: bool) -> str:
+    """src/gtdbpsid2ncbitax_by_genomesupport.pl: pick the NCBI taxonomy
+    per GTDB pseudo-taxid by genome-count support (first=best or all)."""
+    h: dict[str, dict[str, dict]] = {}
+    order: dict[str, list[str]] = {}
+    with open(tsv) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if "GTDB_AC" in line:
+                continue
+            parts = re.split(r"\t+", line)
+            gid, psid, gtname, ncbi_tids, ncbi_taxn = parts[:5]
+            if not re.search(r"GC[AF]_\d+", gid):
+                continue
+            key = f"{psid}_{gtname}"
+            tids = ncbi_tids.split("|")
+            n = len(tids) - 1
+            tid_path = "|".join(tids[:n])
+            # perl quirk: $tids[$len-1] with $len=@tids-1 is the
+            # SECOND-TO-LAST element, so the grouping id is the genus-
+            # level tid and the path still contains it — reproduced
+            spcid = tids[n - 1]
+            tnames = ncbi_taxn.split("|")
+            tname_path = "|".join(tnames[:n])
+            e = h.setdefault(key, {}).setdefault(
+                spcid, {"gn": 0, "tid_path": "", "tname_path": ""}
+            )
+            if e["gn"] == 0:
+                order.setdefault(key, []).append(spcid)
+            e["gn"] += 1
+            e["tid_path"] = tid_path
+            e["tname_path"] = tname_path
+    out = []
+    for key in sorted(h):
+        ranked = sorted(order[key], key=lambda s: -h[key][s]["gn"])
+        picks = ranked if all_rows else ranked[:1]
+        for s in picks:
+            e = h[key][s]
+            out.append(
+                f"{key}\t{e['tid_path']}\t{e['tname_path']}\t{e['gn']}"
+            )
+    return "\n".join(out) + "\n" if out else ""

@@ -151,3 +151,103 @@ def test_cami_port_on_real_gtdb_mappings(tmp_path):
     # verified: two perl invocations differ), so compare the canonical
     # sorted line multiset instead of raw bytes
     assert sorted(got.splitlines()) == sorted(r.stdout.decode().splitlines())
+
+
+def _perl(script, *args, stdin=None):
+    return subprocess.run(
+        [perl, f"{SRC}/{script}", *map(str, args)],
+        check=True, capture_output=True,
+    ).stdout.decode()
+
+
+def test_extract_taxid_matches_perl(tmp_path):
+    g2t = tmp_path / "g2t.tsv"
+    g2t.write_text("GCA_000001.1\t55\tEco\nGCF_000002.2\t66\nGCA_000003.1\t77\tSau\n")
+    gl = tmp_path / "list.txt"
+    gl.write_text("x_GCA_000001.1_y\nGCF_000002.2\nGCA_000009.9\n")
+    assert postproc.extract_taxid(str(gl), str(g2t)) == _perl(
+        "extract_taxid.pl", gl, g2t)
+
+
+def test_ac2pseudotaxid_matches_perl(tmp_path):
+    m = tmp_path / "m.tsv"
+    m.write_text("AC1\t10\tnameA\nAC2\t20\nAC3\t30\tnameC\n")
+    acs = tmp_path / "acs.txt"
+    acs.write_text("AC2\nAC9\nAC1\n")
+    assert postproc.ac2pseudotaxid(str(acs), str(m)) == _perl(
+        "ac2pseudotaxid.pl", acs, m)
+
+
+def test_csv_table_subset_matches_perl(tmp_path):
+    csv = tmp_path / "all.csv"
+    csv.write_text("a,1,2\nb,3,4\nc,5,6\n")
+    sel = tmp_path / "sel.tsv"
+    sel.write_text("c\textra\na\n")
+    assert postproc.csv_table_subset(str(csv), str(sel)) == _perl(
+        "csv_table_subset.pl", csv, sel)
+
+
+def test_ncbi_ftp_matches_perl(tmp_path):
+    t = tmp_path / "acc.tsv"
+    t.write_text("GCA_000123456.1\tASM 12v1\nGCF_009876543.2\tXyz9\n")
+    assert postproc.ncbi_accession2ftp(str(t)) == _perl(
+        "NCBIaccession2ftp_address.pl", t)
+
+
+def test_kmer_finder_matches_perl(tmp_path):
+    fa = tmp_path / "x.fasta"
+    fa.write_text(">r1 desc\nACGTacgTNNA\nCCGTA\n>r2\nGGGTTTacgt\n")
+    got = set(postproc.kmer_finder(str(fa), 4))
+    want = set(_perl("kmer_finder.pl", fa, 4).splitlines())
+    assert got == want  # perl prints randomized hash order
+
+
+def test_gtdbspecies2pseudo_taxid_matches_perl(tmp_path):
+    m = tmp_path / "t2s.tsv"
+    m.write_text(" 12 \tEscherichia coli\n34\tStaph aureus\n")
+    nl = tmp_path / "names.txt"
+    nl.write_text("Staph aureus\nUnknown sp\nEscherichia coli\n")
+    assert postproc.gtdbspecies2pseudo_taxid(str(nl), str(m)) == _perl(
+        "gtdbspecies2pseudo_taxid.pl", nl, m)
+
+
+def test_gtdbspecies2ncbitaxonomy_matches_perl(tmp_path):
+    db = tmp_path / "g2n.tsv"
+    db.write_text(
+        "d__B;s__Eco\t561\tEscherichia\n"
+        "d__B;s__Eco\t562\tE. coli\n"
+        "d__B;s__Sau\t1280\tS. aureus\n"
+        "nospecies\t99\tX\n"
+    )
+    nl = tmp_path / "sp.txt"
+    nl.write_text("Eco\nSau\nMissing\n")
+    assert postproc.gtdbspecies2ncbitaxonomy(str(nl), str(db)) == _perl(
+        "gtdbspecies2ncbitaxonomy.pl", nl, db)
+
+
+def test_abv_match_metadata_matches_perl(tmp_path):
+    meta = tmp_path / "meta.csv"
+    meta.write_text(
+        "run,bioproject,biosample,organism\n"
+        "R1,P1,S1,Ecoli\nR2,P2,,\nR3,P3,S3,Worm\n"
+    )
+    abv = tmp_path / "abv.txt"
+    abv.write_text("Qry\t0.99\nR1.abv\t0.88\nR2.abv\t0.77\nR9.abv\t0.5\n")
+    assert postproc.abv_match_metadata(str(abv), str(meta)) == _perl(
+        "abv_match_metaData.pl", abv, meta)
+
+
+def test_gtdbpsid2ncbitax_matches_perl(tmp_path):
+    t = tmp_path / "g.tsv"
+    t.write_text(
+        "GTDB_AC\theader\n"
+        "GCA_1\t7\tEco\t2|561|562\tBacteria|Escherichia|E coli\n"
+        "GCA_2\t7\tEco\t2|561|562\tBacteria|Escherichia|E coli\n"
+        "GCA_3\t7\tEco\t2|561|563\tBacteria|Escherichia|E fergusonii\n"
+        "GCA_4\t8\tSau\t2|1279|1280\tBacteria|Staph|S aureus\n"
+        "badrow\t9\tX\t1|2\tA|B\n"
+    )
+    for flag in (0, 1):
+        assert postproc.gtdbpsid2ncbitax_by_genomesupport(
+            str(t), bool(flag)
+        ) == _perl("gtdbpsid2ncbitax_by_genomesupport.pl", t, flag)
