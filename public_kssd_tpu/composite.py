@@ -36,20 +36,6 @@ ST_PCTL = 0.98
 ED_PCTL = 0.99
 
 
-def _intersect_abund(
-    ref_codes: np.ndarray, qry_codes: np.ndarray, qry_abund: np.ndarray
-) -> np.ndarray:
-    """Abundances of query codes matched by ref codes (order-free)."""
-    order = np.argsort(qry_codes, kind="stable")
-    sq = qry_codes[order]
-    sa = qry_abund[order]
-    pos = np.searchsorted(sq, ref_codes)
-    pos_c = np.clip(pos, 0, max(sq.size - 1, 0))
-    hit = (pos < sq.size) & (sq.size > 0)
-    hit &= np.where(hit, sq[pos_c] == ref_codes, False)
-    return sa[pos_c[hit]].astype(np.int64)
-
-
 def species_abundance(
     ref_dir: str,
     qry_dir: str,
@@ -63,21 +49,47 @@ def species_abundance(
     qry_stat = formats.read_co_stat(qry_dir)
     if not qry_stat.koc:
         raise ValueError("get_species_abundance(): query has not abundance")
+    n_ref = ref_stat.infile_num
+    # the DB is read ONCE (not per query), and the per-ref OpenMP probe
+    # loop of the reference (command_composite.c:464-481) becomes one
+    # vectorised searchsorted over ALL ref codes + a (ref, abundance)
+    # lexsort — O(|DB| log |qry|) per query with no per-ref Python loop,
+    # which is what makes the 317k-genome GTDB use case feasible.
+    comps = []
+    for c in range(ref_stat.comp_num):
+        ref_codes, ref_index = formats.read_combco(ref_dir, c)
+        rid_of = np.searchsorted(
+            ref_index[1:], np.arange(ref_codes.size, dtype=np.uint64), "right"
+        ).astype(np.int64)
+        qry_codes, qry_index, qry_abund = formats.read_combco(
+            qry_dir, c, with_abund=True
+        )
+        comps.append((ref_codes, rid_of, qry_codes, qry_index, qry_abund))
     lines: list[str] = []
     for qn in range(qry_stat.infile_num):
-        matched: list[list[np.ndarray]] = [[] for _ in range(ref_stat.infile_num)]
-        for c in range(ref_stat.comp_num):
-            ref_codes, ref_index = formats.read_combco(ref_dir, c)
-            qry_codes, qry_index, qry_abund = formats.read_combco(
-                qry_dir, c, with_abund=True
-            )
+        rid_hits: list[np.ndarray] = []
+        ab_hits: list[np.ndarray] = []
+        for ref_codes, rid_of, qry_codes, qry_index, qry_abund in comps:
             q_lo, q_hi = int(qry_index[qn]), int(qry_index[qn + 1])
             qc = qry_codes[q_lo:q_hi]
             qa = qry_abund[q_lo:q_hi]
-            for rn in range(ref_stat.infile_num):
-                r_lo, r_hi = int(ref_index[rn]), int(ref_index[rn + 1])
-                matched[rn].append(_intersect_abund(ref_codes[r_lo:r_hi], qc, qa))
-        counts = np.array([sum(a.size for a in m) for m in matched])
+            if qc.size == 0:
+                continue
+            order = np.argsort(qc, kind="stable")
+            sq, sa = qc[order], qa[order]
+            pos = np.searchsorted(sq, ref_codes)
+            pos_c = np.clip(pos, 0, max(sq.size - 1, 0))
+            hit = (pos < sq.size) & (sq.size > 0)
+            hit &= np.where(hit, sq[pos_c] == ref_codes, False)
+            rid_hits.append(rid_of[hit])
+            ab_hits.append(sa[pos_c[hit]].astype(np.int64))
+        rids = np.concatenate(rid_hits) if rid_hits else np.zeros(0, np.int64)
+        abunds = np.concatenate(ab_hits) if ab_hits else np.zeros(0, np.int64)
+        counts = np.bincount(rids, minlength=n_ref)
+        # per-ref ascending abundance slices in one global lexsort
+        o = np.lexsort((abunds, rids))
+        vals_sorted = abunds[o]
+        seg_end = np.cumsum(counts)
         # descending by matched count; ties keep smaller ref id first
         # (the reference's qsort is unstable on ties — avoid ties in tests)
         order = np.argsort(-counts, kind="stable")
@@ -87,7 +99,7 @@ def species_abundance(
             kmer_num = int(counts[rn])
             if kmer_num < MIN_KM_S:
                 break
-            vals = np.sort(np.concatenate(matched[rn]))
+            vals = vals_sorted[seg_end[rn] - kmer_num : seg_end[rn]]
             arr1 = np.concatenate([[0], vals])  # reference is 1-indexed
             total = int(vals.sum())
             median_val = int(arr1[kmer_num // 2])
