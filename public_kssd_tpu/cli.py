@@ -140,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-s", dest="searchbv", type=int, default=-1,
                    help="abv search: 0 cosine / 1 L1 / 2 L2")
     p.add_argument("-d", dest="readabv", action="store_true", help="dump .abv file")
+    p.add_argument("--device-search", action="store_true",
+                   help="dense MXU matmul .abv search (composite.abv_search_device)")
     p.add_argument("remaining", nargs="*")
 
     args = parser.parse_args(argv)

