@@ -95,10 +95,15 @@ def count_shared_device(
     n_ref: int,
     capacity: int,
 ) -> jax.Array:
-    """Device counting kernel -> uint32 [n_qry, n_ref].
+    """Device counting kernel -> uint32 [n_qry*n_ref + 1] flat.
 
-    ``capacity`` must be >= total matching pairs (host computes it with
-    ``matching_pairs_device``); excess capacity is masked out.
+    The LAST element is the true total of matching pairs: the host
+    checks ``total <= capacity`` and retries with a larger capacity on
+    overflow — ONE device round trip in the common case instead of the
+    round-1 design's separate capacity prepass (each eager round trip
+    costs ~26 ms through the device tunnel, which dominated pair
+    counting at small scales). Counts beyond ``capacity`` are not
+    accumulated, hence the retry.
     """
     start, length = _match_lengths(qry_codes, qry_qid, uniq_codes, offsets, n_ref)
     cum = jnp.cumsum(length.astype(jnp.int64))
@@ -116,14 +121,10 @@ def count_shared_device(
     flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
     counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint32)
     counts = counts.at[flat].add(jnp.uint32(1))
-    return counts[:-1].reshape(n_qry, n_ref)
-
-
-@jax.jit
-def matching_pairs_device(qry_codes, qry_qid, uniq_codes, offsets) -> jax.Array:
-    """Total matching (query occurrence x posting) pairs — capacity prepass."""
-    start, length = _match_lengths(qry_codes, qry_qid, uniq_codes, offsets, 0)
-    return jnp.sum(length.astype(jnp.int64))
+    # clamped so a >4G total can never masquerade as small after cast
+    return counts.at[-1].set(
+        jnp.minimum(total, jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_qry", "n_ref", "capacity"))
@@ -156,7 +157,9 @@ def count_shared_weighted_device(
     w = jnp.where(valid, qry_weights[src_c].astype(jnp.uint64), 0)
     counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint64)
     counts = counts.at[flat].add(w)
-    return counts[:-1].reshape(n_qry, n_ref)
+    # last slot = true pair total for the host's overflow check (the
+    # padding bucket's weighted sum is overwritten — it is not a count)
+    return counts.at[-1].set(total.astype(jnp.uint64))
 
 
 def count_shared_weighted(
@@ -200,13 +203,22 @@ def count_shared_weighted(
     offs = jnp.asarray(sparse_index.offsets)
     g = jnp.asarray(sparse_index.gids)
     qc_d, qq_d = jnp.asarray(qc), jnp.asarray(qq)
-    total = int(matching_pairs_device(qc_d, qq_d, uniq, offs))
-    capacity = 1 << max(int(max(total - 1, 1)).bit_length(), 6)
-    out = count_shared_weighted_device(
-        qc_d, qq_d, jnp.asarray(qw), uniq, offs, g,
-        n_qry=n_qry, n_ref=n_ref, capacity=capacity,
-    )
-    return np.asarray(out)
+    capacity = 1 << max(int(4 * qry_codes.size - 1).bit_length(), 6)
+    while True:
+        out = np.asarray(count_shared_weighted_device(
+            qc_d, qq_d, jnp.asarray(qw), uniq, offs, g,
+            n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+        ))
+        total = int(out[-1])
+        if total <= capacity:
+            break
+        if capacity >= 1 << 31:
+            raise MemoryError(
+                f"matching pairs ({total}+) exceed the per-batch expansion "
+                "limit; lower the query batch with -m"
+            )
+        capacity = 1 << int(max(total - 1, 1)).bit_length()
+    return out[:-1].reshape(n_qry, n_ref)
 
 
 def count_shared(
@@ -241,10 +253,23 @@ def count_shared(
     g = jnp.asarray(sparse_index.gids)
     qc_d = jnp.asarray(qc)
     qq_d = jnp.asarray(qq)
-    total = int(matching_pairs_device(qc_d, qq_d, uniq, offs))
-    capacity = 1 << max(int(max(total - 1, 1)).bit_length(), 6)
-    out = count_shared_device(
-        qc_d, qq_d, uniq, offs, g,
-        n_qry=n_qry, n_ref=n_ref, capacity=capacity,
-    )
-    return np.asarray(out)
+    # optimistic capacity (4x the query code count covers the common
+    # ~1 posting/matched-code case); the kernel reports the true total in
+    # its last slot and the host retries on overflow — one round trip
+    # instead of a separate capacity prepass
+    capacity = 1 << max(int(4 * qry_codes.size - 1).bit_length(), 6)
+    while True:
+        out = np.asarray(count_shared_device(
+            qc_d, qq_d, uniq, offs, g,
+            n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+        ))
+        total = int(out[-1])
+        if total <= capacity:
+            break
+        if capacity >= 1 << 31:
+            raise MemoryError(
+                f"matching pairs ({total}+) exceed the per-batch expansion "
+                "limit; lower the query batch with -m"
+            )
+        capacity = 1 << int(max(total - 1, 1)).bit_length()
+    return out[:-1].reshape(n_qry, n_ref)

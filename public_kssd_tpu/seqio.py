@@ -61,13 +61,28 @@ def read_bytes(path: str, pipecmd: str | None = None) -> bytes:
         return f.read()
 
 
+class _PipeStream:
+    """File-like over a subprocess stdout that reaps the child on close
+    (a bare proc.stdout would leave a zombie per streamed file)."""
+
+    def __init__(self, proc):
+        self._proc = proc
+
+    def read(self, n: int = -1) -> bytes:
+        return self._proc.stdout.read(n)
+
+    def close(self) -> None:
+        self._proc.stdout.close()
+        self._proc.wait()
+
+
 def _open_stream(path: str, pipecmd: str | None = None):
     """Open a (possibly compressed) file as a binary stream."""
     if pipecmd:
         proc = subprocess.Popen(
             f"{pipecmd} {path}", shell=True, stdout=subprocess.PIPE
         )
-        return proc.stdout
+        return _PipeStream(proc)
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
     if path.endswith(".bz2"):
