@@ -66,7 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--correction", type=int, default=0, help="shared-count correction")
     p.add_argument("-A", dest="abundance", action="store_true", help="abundance (koc) mode")
     p.add_argument("-u", dest="dedup", action="store_true", help="drop repeated ref k-mers")
-    p.add_argument("--keepcofile", action="store_true")
+    p.add_argument("--keepcofile", action="store_true",
+                   help="also write per-genome <i>.co.<c> intermediates "
+                   "(the reference parses but silently ignores this flag "
+                   "— command_dist.c:341 removes them unconditionally)")
     p.add_argument("-P", dest="pipecmd", default="", help="pipe command")
     p.add_argument("--keepskf", action="store_true", help="keep shared-kmer matrix")
     p.add_argument("-f", dest="skf", default="", help="shared-kmer matrix path")
@@ -272,6 +275,7 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
         byread=args.byread,
         pipecmd=args.pipecmd or None,
         compat_order=not args.no_compat_order,
+        keepcofile=args.keepcofile,
     )
     out_opts = stats_ops.OutputOptions(
         metric=stats_ops.Metric(args.metric),

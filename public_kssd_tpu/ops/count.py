@@ -211,12 +211,6 @@ def count_shared_weighted(
     return out[:-1].reshape(n_qry, n_ref)
 
 
-# per-DB observed pairs-per-query-code density, so steady-state counting
-# runs with a tight expansion capacity AND a single device round trip
-# (key: the index arrays' identity; value: max observed pairs/code)
-_DENSITY: dict[int, float] = {}
-
-
 def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
     """Dispatch a counting kernel with adaptive optimistic capacity.
 
@@ -224,9 +218,10 @@ def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
     undershoot -> retry with the exact capacity (2 round trips, rare
     after the first call per DB), overshoot -> wasted expansion work.
     Start from the observed density of earlier calls against the same
-    index (1.25x headroom), or 2x the code count for a fresh DB.
+    index (1.25x headroom), or 2x the code count for a fresh DB. The
+    observed density lives ON the index object, so it dies with it.
     """
-    dens = _DENSITY.get(id(sparse_index), 2.0)
+    dens = getattr(sparse_index, "_pair_density", 2.0)
     capacity = 1 << max(int(max(dens * 1.25 * n_codes, 1) - 1).bit_length(), 6)
     while True:
         out = np.asarray(kernel(
@@ -235,14 +230,16 @@ def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
         total = int(out[-1])
         if total <= capacity:
             break
-        if capacity >= 1 << 31:
+        # recompute the retry capacity FIRST: dispatching a >2^31-slot
+        # expansion would OOM the device before any clean error fires
+        capacity = 1 << int(max(total - 1, 1)).bit_length()
+        if capacity > 1 << 31:
             raise MemoryError(
                 f"matching pairs ({total}+) exceed the per-batch expansion "
                 "limit; lower the query batch with -m"
             )
-        capacity = 1 << int(max(total - 1, 1)).bit_length()
-    _DENSITY[id(sparse_index)] = max(
-        _DENSITY.get(id(sparse_index), 0.0), total / max(n_codes, 1)
+    sparse_index._pair_density = max(
+        getattr(sparse_index, "_pair_density", 0.0), total / max(n_codes, 1)
     )
     return out
 

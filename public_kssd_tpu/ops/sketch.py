@@ -519,6 +519,12 @@ def sketch_codes_multi(
         pieces = []
         bounds = np.zeros(len(streams) + 1, dtype=np.int64)
         for i, s in enumerate(streams):
+            if not isinstance(s, np.ndarray):
+                # a lazily-streamed big file (piece iterator from
+                # seqio.stream_*_codes): the wide compaction path needs
+                # stream sizes up front, so materialise it here
+                ps = list(s)
+                s = np.concatenate(ps) if ps else np.zeros(0, np.uint8)
             pieces.append(s)
             pieces.append(brk)
             bounds[i + 1] = bounds[i] + s.size + 1

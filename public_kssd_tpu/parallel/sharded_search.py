@@ -194,21 +194,59 @@ def sharded_search_counts(
     mesh: Mesh,
     qry_axis: str = "dp",
     ref_axis: str = "ref",
+    batch: int = 0,
+    counts_out: np.ndarray | None = None,
 ) -> np.ndarray:
     """End-to-end sharded counting of a query sketch dir against CSR
     components; returns uint32 [n_qry, n_ref]. ``comp_code_bits`` is the
-    component-fold shift (SketchParams accepted for convenience)."""
+    component-fold shift (SketchParams accepted for convenience).
+
+    ``batch`` bounds the query rows counted per device step (the -m
+    governor: the DB shards stay resident, only the per-step count
+    matrix block and query pad scale with the batch); ``counts_out``
+    (e.g. a np.memmap) receives the rows so host RAM stays bounded.
+    """
     if isinstance(comp_code_bits, SketchParams):
         comp_code_bits = comp_code_bits.comp_code_bits
     n_ref = components[0].n_genomes
     key, offsets, gids = merge_components(components, comp_code_bits)
     n_ref_shards = mesh.shape[ref_axis]
-    n_dp = mesh.shape[qry_axis]
     db = build_sharded_db(key, offsets, gids, n_ref, n_ref_shards)
 
-    qk, qq = query_keys(qry_dir, comp_code_bits)
+    qk_all, qq_all = query_keys(qry_dir, comp_code_bits)
     stat = formats.read_co_stat(qry_dir)
-    n_qry = stat.infile_num
+    n_qry_total = stat.infile_num
+    out = (
+        counts_out
+        if counts_out is not None
+        else np.zeros((n_qry_total, n_ref), dtype=np.uint32)
+    )
+    # DB shards go on-device ONCE; query batches stream against them
+    sh_ref = NamedSharding(mesh, P(ref_axis, None))
+    db_dev = tuple(
+        jax.make_array_from_callback(a.shape, sh_ref, lambda i, a=a: a[i])
+        for a in (db.uniq, db.offsets, db.gids)
+    )
+    batch = batch or n_qry_total
+    for b0 in range(0, n_qry_total, batch):
+        b1 = min(b0 + batch, n_qry_total)
+        m = (qq_all >= b0) & (qq_all < b1)
+        out[b0:b1] = _sharded_count_block(
+            qk_all[m], qq_all[m] - b0, b1 - b0, key, offsets, db, db_dev,
+            mesh, qry_axis, ref_axis,
+        )
+    return out
+
+
+def _sharded_count_block(
+    qk, qq, n_qry: int, key, offsets, db: ShardedDB, db_dev,
+    mesh: Mesh, qry_axis: str, ref_axis: str,
+) -> np.ndarray:
+    """Count one contiguous block of queries (LOCAL ids [0, n_qry)) against
+    a prebuilt ShardedDB; returns uint32 [n_qry, n_ref]."""
+    n_ref = db.n_ref
+    n_ref_shards = db.n_shards
+    n_dp = mesh.shape[qry_axis]
     # partition queries over dp: contiguous query-id blocks
     per_dp = -(-n_qry // n_dp)
     L = 0
@@ -247,22 +285,17 @@ def sharded_search_counts(
     qk_flat = qk_pad.reshape(-1)
     qq_flat = qq_pad.reshape(-1)
     # explicit sharded placement: each device receives ONLY its DB shard
-    # slice (no whole-DB device replication on the way in). Built with
-    # make_array_from_callback so the SAME code runs multi-process
-    # (jax.distributed): each process materialises only the shards its
-    # local devices own.
+    # slice (already resident via db_dev — no whole-DB device replication
+    # and no per-batch re-upload). Built with make_array_from_callback so
+    # the SAME code runs multi-process (jax.distributed): each process
+    # materialises only the shards its local devices own.
     sh_dp = NamedSharding(mesh, P(qry_axis))
-    sh_ref = NamedSharding(mesh, P(ref_axis, None))
 
     def put(arr, sh):
         return jax.make_array_from_callback(arr.shape, sh, lambda i: arr[i])
 
     with mesh:
-        out = fn(
-            put(qk_flat, sh_dp), put(qq_flat, sh_dp),
-            put(db.uniq, sh_ref), put(db.offsets, sh_ref),
-            put(db.gids, sh_ref),
-        )
+        out = fn(put(qk_flat, sh_dp), put(qq_flat, sh_dp), *db_dev)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 

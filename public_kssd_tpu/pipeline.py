@@ -36,6 +36,13 @@ class SketchOptions:
                    (command_dist.c:287)
     compat_order   write codes in the reference's hash-slot order for
                    byte-identical files (distances are order-invariant)
+    keepcofile     --keepcofile: also write per-genome <i>.co.<c> (+.a)
+                   intermediates in the output dir. NOTE: the reference
+                   parses this flag but never reads it — its per-genome
+                   .co removal is unconditional (command_dist.c:341,348;
+                   ``keepco`` is set at command_dist_wrapper.c:246 and
+                   consulted nowhere), so this implements what the flag
+                   documents rather than what the reference does.
     """
 
     abundance: bool = False
@@ -45,6 +52,7 @@ class SketchOptions:
     byread: bool = False
     pipecmd: str | None = None
     compat_order: bool = True
+    keepcofile: bool = False
 
 
 STREAM_BYTES = 512 << 20  # stream files whose decompressed size may exceed this
@@ -250,6 +258,16 @@ def run_stage1(
                     per_comp_sizes[c].append(comp_ids[c].size)
                     if abund is not None:
                         per_comp_abund[c].append(abund[comp_mask == c])
+                    if opts.keepcofile:
+                        # the reference's per-genome intermediates
+                        # (<outdir>/<i>.co.<c>, command_dist.c:333-348)
+                        comp_ids[c].astype("<u4").tofile(
+                            os.path.join(out_dir, f"{gi}.co.{c}")
+                        )
+                        if abund is not None:
+                            per_comp_abund[c][-1].astype("<u2").tofile(
+                                os.path.join(out_dir, f"{gi}.co.{c}.a")
+                            )
 
     with timer.stage("write"):
         for c in range(cnum):

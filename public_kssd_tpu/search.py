@@ -121,6 +121,20 @@ def search(
     n_qry, n_ref = qry_stat.infile_num, mco_stat.infile_num
     skf = shared_kmer_path or os.path.join(out_dir, "sharedk_ct.dat")
     koc = koc and qry_stat.koc
+    if koc and shared_kmer_path:
+        # sharedk_ct.dat holds only the unweighted counts: the weighted
+        # table cannot be reconstructed on a -f reprint (silently writing
+        # all-zero abundances would be a bogus koc appendix)
+        raise ValueError(
+            "--koc-out cannot be combined with -f (resume from "
+            "sharedk_ct.dat): abundance-weighted counts are not stored "
+            "in the shared-k matrix; rerun the full search with --koc-out"
+        )
+    if koc and mesh is not None:
+        raise ValueError(
+            "--koc-out is not supported with --mesh sharded search yet; "
+            "drop --mesh for the abundance-weighted appendix"
+        )
     koc_counts = np.zeros((n_qry, n_ref), dtype=np.uint64) if koc else None
     if shared_kmer_path:
         counts = np.fromfile(skf, dtype="<u4").reshape(n_qry, n_ref)
@@ -138,10 +152,21 @@ def search(
                          - component_sz), 0,
                 )
                 assert (1 << comp_code_bits) >= mco_stat.comp_num
-                counts = sharded_search.sharded_search_counts(
-                    qry_dir, comps, comp_code_bits, mesh
+                if mem_gb > 0:
+                    counts = np.memmap(
+                        skf, dtype="<u4", mode="w+", shape=(n_qry, n_ref)
+                    )
+                else:
+                    counts = np.zeros((n_qry, n_ref), dtype=np.uint32)
+                sharded_search.sharded_search_counts(
+                    qry_dir, comps, comp_code_bits, mesh,
+                    batch=query_batch_size(n_qry, n_ref, mem_gb),
+                    counts_out=counts,
                 )
-                counts.astype("<u4").tofile(skf)
+                if isinstance(counts, np.memmap):
+                    counts.flush()
+                else:
+                    counts.astype("<u4").tofile(skf)
             else:
                 # the count matrix is disk-backed under -m, exactly like
                 # the reference's ftruncate+mmap (command_dist.c:742-748)

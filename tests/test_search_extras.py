@@ -215,3 +215,48 @@ def test_full_fields_output(env, in_dir):
         with open(os.path.join("d_plain", "distance.out")) as f:
             plain = f.read().splitlines()
         assert plain[1].split("\t")[3] != ""
+
+
+def test_koc_resume_rejected(env, in_dir):
+    """-f (resume from sharedk_ct.dat) + --koc-out must fail loudly: the
+    weighted counts are not recoverable from the unweighted matrix."""
+    with in_dir(env):
+        search.search("x_ref", "x_koc", "d_skf_koc", keep_shared_kmer=True)
+        skf = os.path.join("d_skf_koc", "sharedk_ct.dat")
+        with pytest.raises(ValueError, match="koc"):
+            search.search(
+                "x_ref", "x_koc", "d_skf_koc",
+                shared_kmer_path=skf, koc=True,
+            )
+
+
+def test_koc_mesh_rejected(env, in_dir):
+    """--mesh + --koc-out is unsupported and must say so, not silently
+    drop the weighted appendix."""
+    import jax
+    from jax.sharding import Mesh
+
+    with in_dir(env):
+        mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("dp", "ref"))
+        with pytest.raises(ValueError, match="mesh"):
+            search.search("x_ref", "x_koc", "d_mesh_koc", mesh=mesh, koc=True)
+
+
+def test_keepcofile_writes_intermediates(env, in_dir, tmp_path):
+    """--keepcofile writes per-genome <i>.co.<c> files whose bytes are
+    exactly that genome's combco slice (the reference parses the flag but
+    never honors it — command_dist.c:341 removes unconditionally)."""
+    with in_dir(env):
+        params, shuf = formats.read_shuf(SHUF, component_sz=7)
+        stat = formats.read_co_stat("ref_co")
+        out = str(tmp_path / "keepco")
+        pipeline.run_stage1(
+            stat.names, out, params, shuf,
+            pipeline.SketchOptions(keepcofile=True),
+        )
+        codes, idx = formats.read_combco(out, 0)
+        for i in range(stat.infile_num):
+            co = np.fromfile(os.path.join(out, f"{i}.co.0"), "<u4")
+            np.testing.assert_array_equal(
+                co, codes[int(idx[i]): int(idx[i + 1])]
+            )

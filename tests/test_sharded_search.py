@@ -126,3 +126,19 @@ def test_sharded_search_50k_genome_scale():
     np.testing.assert_array_equal(got, want)
     print(f"\nsharded 50k-genome search: {n_qry * n_ref / dt:.0f} pairs/s "
           f"on 2x4 cpu mesh ({dt:.2f}s, total_pairs={total_pairs})")
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+def test_mesh_query_batching_equals_unbatched(db7, batch):
+    """The -m governor inside the sharded path: per-batch psum counting
+    into a caller matrix must equal the single-shot result."""
+    root, params, comps, oracle = db7
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "ref"))
+    n_qry, n_ref = oracle.shape
+    out = np.zeros((n_qry, n_ref), dtype=np.uint32)
+    got = sharded_search.sharded_search_counts(
+        os.path.join(root, "my_qry"), comps, params, mesh,
+        batch=batch, counts_out=out,
+    )
+    assert got is out
+    np.testing.assert_array_equal(out, oracle)

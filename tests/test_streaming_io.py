@@ -96,3 +96,18 @@ def test_pipeline_streams_big_files(tmp_path, monkeypatch):
         )
     a, b = formats.read_co_stat(d1), formats.read_co_stat(d2)
     assert a.ctx_ct.tolist() == b.ctx_ct.tolist()
+
+
+def test_wide_geometry_accepts_stream_iterators():
+    """k-l >= 8 (drtuple > 31 bits) must accept lazy piece iterators like
+    the packed path does (large-file streaming previously crashed with
+    AttributeError: 'generator' object has no attribute 'size')."""
+    params = SketchParams(id=11, half_ctx_len=12, half_subctx_len=6, drlevel=3)
+    assert params.drtuple_bits > 31
+    shuf = shufspace.ComputedShuf(params.id, params.half_subctx_len)
+    rng = np.random.default_rng(3)
+    sym = rng.integers(0, 4, size=20000).astype(np.uint8)
+    whole = sketch_ops.sketch_codes_multi([sym], shuf, params)[0]
+    pieces = [sym[:7000], sym[7000:15000], sym[15000:]]
+    streamed = sketch_ops.sketch_codes_multi([iter(pieces)], shuf, params)[0]
+    np.testing.assert_array_equal(streamed, whole)
