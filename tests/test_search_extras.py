@@ -260,3 +260,33 @@ def test_keepcofile_writes_intermediates(env, in_dir, tmp_path):
             np.testing.assert_array_equal(
                 co, codes[int(idx[i]): int(idx[i + 1])]
             )
+
+
+# Literal fixture lines computed INDEPENDENTLY of ops/stats.py: a 50-digit
+# mpmath evaluation of the statistics as documented in the reference's
+# README (README.md:48-64) / koc printf (command_dist.c:1148-1153),
+# rounded per C's %.6f/%E. They falsify the formatters if either the
+# arithmetic or the printf emulation drifts (the Python oracles above
+# transcribe the same float64 formulas, so they alone could not).
+KOC_FIXTURE = (
+    "q\tr\t2.500000\t30-0|120|100\t0.157895\t0.081205\t0.300000\t0.075248"
+    "\t0.157893[0.106043,0.209742]\t0.081206[0.066196,0.103222]"
+    "\t0.299996[0.210178,0.389814]\t0.075249[0.058880,0.097488]"
+    "\t1.196315E-09\t2.945488E-11\t1.794473E-08\t4.418231E-10\n"
+)
+FULL_FIXTURE = (
+    "q\tr\t40-0|200|150\t0.129032\t0.073795\t0.266667\t0.066088"
+    "\t[0.091713,0.166351]\t[0.062720,0.089184]\t[0.195897,0.337436]"
+    "\t[0.054319,0.081508]"
+    "\t6.140764E-12\t7.595150E-14\t8.597070E-11\t1.063321E-12\n"
+)
+
+
+def test_koc_line_matches_handcomputed_fixture():
+    got = stats_ops.format_koc_pair_line("q", "r", 120, 100, 30, 75, 16, 4, 5, 3)
+    assert got == KOC_FIXTURE
+
+
+def test_full_line_matches_handcomputed_fixture():
+    got = stats_ops.format_full_pair_line("q", "r", 200, 150, 40, 20, 6, 7, 2)
+    assert got == FULL_FIXTURE
