@@ -144,7 +144,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="abv search: 0 cosine / 1 L1 / 2 L2")
     p.add_argument("-d", dest="readabv", action="store_true", help="dump .abv file")
     p.add_argument("--device-search", action="store_true",
-                   help="dense MXU matmul .abv search (composite.abv_search_device)")
+                   help="force the dense MXU .abv search / device -q join "
+                   "(auto-selected for large matrices; see "
+                   "composite.ABV_DENSE_THRESHOLD)")
+    p.add_argument("--host-search", action="store_true",
+                   help="force the reference-parity sparse host walk for "
+                   "-s even at scale")
     p.add_argument("remaining", nargs="*")
 
     args = parser.parse_args(argv)

@@ -34,6 +34,161 @@ BINVEC_DIRNAME = "abundance_Vec"  # command_composite.c:34
 MIN_KM_S = 6  # command_composite.c:489-491
 ST_PCTL = 0.98
 ED_PCTL = 0.99
+# samples x species cells above which -s auto-uses the dense MXU search
+ABV_DENSE_THRESHOLD = 1 << 22
+
+
+# codes*queries mass above which the -q join runs on the device by default
+DEVICE_JOIN_THRESHOLD = 1 << 20
+
+
+def _segment_stats_np(rids, abunds, n_ref: int):
+    """Per-ref integer aggregates of the (ref, abundance) hit pairs:
+    (kmer_num, total, median, max, lastsum, lastn) — each int64 [n_ref].
+
+    ``median`` is the reference's 1-indexed arr1[k//2] (0 when k < 2,
+    arr1[0] = 0); the percentile window is arr1[st..min(floor(ed), k)]
+    with st = int(k*0.98), ed = k*0.99 (command_composite.c:505-530).
+    All aggregates are exact integers, so the float32 report math on top
+    is bit-identical regardless of which backend produced them.
+    """
+    counts = np.bincount(rids, minlength=n_ref).astype(np.int64)
+    if rids.size == 0:
+        z = np.zeros(n_ref, np.int64)
+        return counts, z, z.copy(), z.copy(), z.copy(), np.ones(n_ref, np.int64)
+    o = np.lexsort((abunds, rids))
+    vals = abunds[o].astype(np.int64)
+    sums = np.bincount(
+        rids, weights=abunds.astype(np.float64), minlength=n_ref
+    ).astype(np.int64)
+    seg_end = np.cumsum(counts)
+    seg_start = seg_end - counts
+    ex = np.concatenate([[0], np.cumsum(vals)])
+    med_idx = np.clip(seg_start + np.maximum(counts // 2 - 1, 0), 0, vals.size - 1)
+    median = np.where(counts >= 2, vals[med_idx], 0)
+    maxv = np.where(counts >= 1, vals[np.clip(seg_end - 1, 0, vals.size - 1)], 0)
+    kf = counts.astype(np.float64)
+    st = (kf * ST_PCTL).astype(np.int64)  # C truncation (positive)
+    hi = np.minimum((kf * ED_PCTL).astype(np.int64), counts)
+    lastn = hi - st + 1
+    # arr1[0] = 0 contributes nothing, so the st = 0 window folds into
+    # the same prefix-difference as st >= 1
+    lastsum = ex[seg_start + hi] - ex[seg_start + np.maximum(st, 1) - 1]
+    return counts, sums, median, maxv, lastsum, lastn
+
+
+def _join_key_device(ref_codes, rid_of, sq, sa, q_len, *, n_ref: int):
+    """Device join of one component's DB codes against one query's sorted
+    sketch -> int64 [R] keys (rid << 32 | abundance), misses keyed to the
+    n_ref pad bucket. The device twin of the reference's per-ref OpenMP
+    probe loop (command_composite.c:464-481)."""
+    import jax.numpy as jnp
+
+    Q = sq.shape[0]
+    pos = jnp.searchsorted(sq, ref_codes)
+    pos_c = jnp.clip(pos, 0, Q - 1)
+    hit = (pos < q_len) & (sq[pos_c] == ref_codes)
+    ab = jnp.where(hit, sa[pos_c].astype(jnp.int64), 0)
+    rid = jnp.where(hit, rid_of.astype(jnp.int64), n_ref)
+    return (rid << 32) | ab
+
+
+def _segment_stats_device_impl(key, *, n_ref: int):
+    """Device per-ref aggregates from join keys: ONE global sort groups
+    hits by (ref, abundance); counts/sums are scatter-adds; median/max/
+    percentile-window sums are prefix-sum gathers. Integer-exact vs the
+    numpy twin (_segment_stats_np)."""
+    import jax.numpy as jnp
+
+    skey = jnp.sort(key)
+    rid = (skey >> 32).astype(jnp.int32)  # == n_ref for misses
+    vals = jnp.where(rid < n_ref, skey & jnp.int64(0xFFFFFFFF), 0)
+    R = key.shape[0]
+    ones = jnp.ones(R, jnp.int64)
+    counts = jnp.zeros(n_ref + 1, jnp.int64).at[rid].add(ones)[:n_ref]
+    sums = jnp.zeros(n_ref + 1, jnp.int64).at[rid].add(vals)[:n_ref]
+    seg_end = jnp.cumsum(counts)
+    seg_start = seg_end - counts
+    ex = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(vals)]
+    )
+    med_idx = jnp.clip(seg_start + jnp.maximum(counts // 2 - 1, 0), 0, R - 1)
+    median = jnp.where(counts >= 2, vals[med_idx], 0)
+    maxv = jnp.where(counts >= 1, vals[jnp.clip(seg_end - 1, 0, R - 1)], 0)
+    kf = counts.astype(jnp.float64)
+    st = (kf * ST_PCTL).astype(jnp.int64)  # truncation, like the C cast
+    hi = jnp.minimum((kf * ED_PCTL).astype(jnp.int64), counts)
+    lastn = hi - st + 1
+    lastsum = ex[seg_start + hi] - ex[seg_start + jnp.maximum(st, 1) - 1]
+    return counts, sums, median, maxv, lastsum, lastn
+
+
+_DEVICE_FNS: tuple | None = None
+
+
+def _device_fns():
+    """Lazy jitted (join, segment-stats) pair — jax imports deferred so
+    host-only composite use never initialises a backend."""
+    global _DEVICE_FNS
+    if _DEVICE_FNS is None:
+        import jax
+
+        _DEVICE_FNS = (
+            jax.jit(_join_key_device, static_argnames=("n_ref",)),
+            jax.jit(_segment_stats_device_impl, static_argnames=("n_ref",)),
+        )
+    return _DEVICE_FNS
+
+
+def _query_stats_device(dev_comps, qn: int, n_ref: int):
+    """Per-ref aggregates of query ``qn`` against all components, computed
+    on the device (join + sort + segment reductions)."""
+    import jax
+    import jax.numpy as jnp
+
+    join, segment_stats = _device_fns()
+    keys = []
+    for ref_dev, rid_dev, qry_codes, qry_index, qry_abund in dev_comps:
+        q_lo, q_hi = int(qry_index[qn]), int(qry_index[qn + 1])
+        qc = qry_codes[q_lo:q_hi]
+        qa = qry_abund[q_lo:q_hi]
+        order = np.argsort(qc, kind="stable")
+        sq, sa = qc[order], qa[order].astype(np.uint32)
+        L = 1 << max(int(max(sq.size - 1, 1)).bit_length(), 6)
+        sq_pad = np.full(L, np.uint32(0xFFFFFFFF))
+        sq_pad[: sq.size] = sq
+        sa_pad = np.zeros(L, np.uint32)
+        sa_pad[: sa.size] = sa
+        keys.append(join(
+            ref_dev, rid_dev, jnp.asarray(sq_pad), jnp.asarray(sa_pad),
+            jnp.int64(sq.size), n_ref=n_ref,
+        ))
+    key = keys[0] if len(keys) == 1 else jnp.concatenate(keys)
+    out = segment_stats(key, n_ref=n_ref)
+    return tuple(np.asarray(a) for a in jax.device_get(out))
+
+
+def _query_stats_host(comps, qn: int, n_ref: int):
+    """Host twin of _query_stats_device (the parity oracle)."""
+    rid_hits: list[np.ndarray] = []
+    ab_hits: list[np.ndarray] = []
+    for ref_codes, rid_of, qry_codes, qry_index, qry_abund in comps:
+        q_lo, q_hi = int(qry_index[qn]), int(qry_index[qn + 1])
+        qc = qry_codes[q_lo:q_hi]
+        qa = qry_abund[q_lo:q_hi]
+        if qc.size == 0:
+            continue
+        order = np.argsort(qc, kind="stable")
+        sq, sa = qc[order], qa[order]
+        pos = np.searchsorted(sq, ref_codes)
+        pos_c = np.clip(pos, 0, max(sq.size - 1, 0))
+        hit = (pos < sq.size) & (sq.size > 0)
+        hit &= np.where(hit, sq[pos_c] == ref_codes, False)
+        rid_hits.append(rid_of[hit])
+        ab_hits.append(sa[pos_c[hit]].astype(np.int64))
+    rids = np.concatenate(rid_hits) if rid_hits else np.zeros(0, np.int64)
+    abunds = np.concatenate(ab_hits) if ab_hits else np.zeros(0, np.int64)
+    return _segment_stats_np(rids, abunds, n_ref)
 
 
 def species_abundance(
@@ -41,10 +196,19 @@ def species_abundance(
     qry_dir: str,
     out_dir: str | None = None,
     binvec: bool = False,
+    device: bool | None = None,
 ) -> str:
     """-r/-q composition analysis; returns the text report. With
     ``binvec`` also writes .abv files (get_species_abundance,
-    command_composite.c:389-547)."""
+    command_composite.c:389-547).
+
+    ``device=None`` auto-selects: DBs past DEVICE_JOIN_THRESHOLD codes
+    run the join + per-ref statistics on the device (searchsorted join,
+    one sort, segment reductions — the same machinery as ops/count);
+    small DBs and ``device=False`` use the vectorised host path. Both
+    produce identical integer aggregates, so the report text is
+    backend-independent.
+    """
     ref_stat = formats.read_co_stat(ref_dir)
     qry_stat = formats.read_co_stat(qry_dir)
     if not qry_stat.koc:
@@ -52,10 +216,11 @@ def species_abundance(
     n_ref = ref_stat.infile_num
     # the DB is read ONCE (not per query), and the per-ref OpenMP probe
     # loop of the reference (command_composite.c:464-481) becomes one
-    # vectorised searchsorted over ALL ref codes + a (ref, abundance)
-    # lexsort — O(|DB| log |qry|) per query with no per-ref Python loop,
-    # which is what makes the 317k-genome GTDB use case feasible.
+    # vectorised searchsorted over ALL ref codes + segment reductions —
+    # O(|DB| log |qry|) per query with no per-ref loop, which is what
+    # makes the 317k-genome GTDB use case feasible.
     comps = []
+    total_ref_codes = 0
     for c in range(ref_stat.comp_num):
         ref_codes, ref_index = formats.read_combco(ref_dir, c)
         rid_of = np.searchsorted(
@@ -65,31 +230,26 @@ def species_abundance(
             qry_dir, c, with_abund=True
         )
         comps.append((ref_codes, rid_of, qry_codes, qry_index, qry_abund))
+        total_ref_codes += ref_codes.size
+    if device is None:
+        device = total_ref_codes * qry_stat.infile_num >= DEVICE_JOIN_THRESHOLD
+    if device:
+        import jax.numpy as jnp
+
+        dev_comps = [
+            (jnp.asarray(rc), jnp.asarray(ro.astype(np.int32)), qc, qi, qa)
+            for rc, ro, qc, qi, qa in comps
+        ]
     lines: list[str] = []
     for qn in range(qry_stat.infile_num):
-        rid_hits: list[np.ndarray] = []
-        ab_hits: list[np.ndarray] = []
-        for ref_codes, rid_of, qry_codes, qry_index, qry_abund in comps:
-            q_lo, q_hi = int(qry_index[qn]), int(qry_index[qn + 1])
-            qc = qry_codes[q_lo:q_hi]
-            qa = qry_abund[q_lo:q_hi]
-            if qc.size == 0:
-                continue
-            order = np.argsort(qc, kind="stable")
-            sq, sa = qc[order], qa[order]
-            pos = np.searchsorted(sq, ref_codes)
-            pos_c = np.clip(pos, 0, max(sq.size - 1, 0))
-            hit = (pos < sq.size) & (sq.size > 0)
-            hit &= np.where(hit, sq[pos_c] == ref_codes, False)
-            rid_hits.append(rid_of[hit])
-            ab_hits.append(sa[pos_c[hit]].astype(np.int64))
-        rids = np.concatenate(rid_hits) if rid_hits else np.zeros(0, np.int64)
-        abunds = np.concatenate(ab_hits) if ab_hits else np.zeros(0, np.int64)
-        counts = np.bincount(rids, minlength=n_ref)
-        # per-ref ascending abundance slices in one global lexsort
-        o = np.lexsort((abunds, rids))
-        vals_sorted = abunds[o]
-        seg_end = np.cumsum(counts)
+        if device:
+            counts, sums, median, maxv, lastsum, lastn = _query_stats_device(
+                dev_comps, qn, n_ref
+            )
+        else:
+            counts, sums, median, maxv, lastsum, lastn = _query_stats_host(
+                comps, qn, n_ref
+            )
         # descending by matched count; ties keep smaller ref id first
         # (the reference's qsort is unstable on ties — avoid ties in tests)
         order = np.argsort(-counts, kind="stable")
@@ -99,25 +259,17 @@ def species_abundance(
             kmer_num = int(counts[rn])
             if kmer_num < MIN_KM_S:
                 break
-            vals = vals_sorted[seg_end[rn] - kmer_num : seg_end[rn]]
-            arr1 = np.concatenate([[0], vals])  # reference is 1-indexed
-            total = int(vals.sum())
-            median_val = int(arr1[kmer_num // 2])
-            st = int(kmer_num * ST_PCTL)
-            ed = kmer_num * ED_PCTL
-            lastvals = [int(arr1[n]) for n in range(st, kmer_num + 1) if n <= ed]
-            lastsum, lastn = sum(lastvals), len(lastvals)
-            pctl_mean = np.float32(lastsum) / np.float32(lastn)
+            pctl_mean = np.float32(lastsum[rn]) / np.float32(lastn[rn])
             if binvec:
-                if median_val > 1 and kmer_num > MIN_KM_S + 1:
+                if int(median[rn]) > 1 and kmer_num > MIN_KM_S + 1:
                     binvec_rows.append((int(rn), pctl_mean))
                     binvec_sum += pctl_mean
             else:
-                mean = np.float32(total) / np.float32(kmer_num)
+                mean = np.float32(sums[rn]) / np.float32(kmer_num)
                 lines.append(
                     f"{qry_stat.names[qn]}\t{ref_stat.names[rn]}\t{kmer_num}\t"
                     f"{float(mean):.6f}\t{float(pctl_mean):.6f}\t"
-                    f"{median_val}\t{int(arr1[kmer_num])}\n"
+                    f"{int(median[rn])}\t{int(maxv[rn])}\n"
                 )
         if binvec:
             out = out_dir or os.path.join(ref_dir, BINVEC_DIRNAME)
@@ -144,27 +296,35 @@ def index_abv(ref_dir: str) -> None:
     abv_dir = os.path.join(ref_dir, BINVEC_DIRNAME)
     ref_stat = formats.read_co_stat(ref_dir)
     names = sorted(n for n in os.listdir(abv_dir) if n.endswith(".abv"))
-    per_species: list[list[tuple[int, np.float32]]] = [
-        [] for _ in range(ref_stat.infile_num)
+    arrs = [formats.read_abv(os.path.join(abv_dir, n)) for n in names]
+    y_l2n = [
+        math.sqrt(float(np.sum(a["pct"].astype(np.float64) ** 2)))
+        for a in arrs
     ]
-    y_l2n = []
-    for fi, name in enumerate(names):
-        arr = formats.read_abv(os.path.join(abv_dir, name))
-        y_l2n.append(math.sqrt(float(np.sum(arr["pct"].astype(np.float64) ** 2))))
-        for ridx, pct in zip(arr["ref_idx"], arr["pct"]):
-            per_species[ridx].append((fi, pct))
+    # the inverted fold is ONE stable argsort by species: file order is
+    # preserved within a species, exactly like the per-row append fold
+    sizes = np.array([len(a) for a in arrs], dtype=np.int64)
+    fids = np.repeat(np.arange(len(arrs), dtype=np.int32), sizes)
+    ridx = (
+        np.concatenate([a["ref_idx"] for a in arrs])
+        if arrs else np.zeros(0, np.int32)
+    )
+    pcts = (
+        np.concatenate([a["pct"] for a in arrs])
+        if arrs else np.zeros(0, np.float32)
+    )
+    order = np.argsort(ridx, kind="stable")
     base = os.path.join(ref_dir, BINVEC_DIRNAME)
     with open(base + ".name", "w") as f:
         for n in names:
             f.write(n + "\n")
     np.array(y_l2n, dtype="<f8").tofile(base + ".yl2n")
-    rows = [r for sp in per_species for r in sp]
     formats.write_abv(
         base + ".abm",
-        np.array([r[0] for r in rows], dtype=np.int32),
-        np.array([r[1] for r in rows], dtype=np.float32),
+        fids[order].astype(np.int32),
+        pcts[order].astype(np.float32),
     )
-    counts = np.array([len(sp) for sp in per_species], dtype=np.int64)
+    counts = np.bincount(ridx, minlength=ref_stat.infile_num).astype(np.int64)
     np.cumsum(counts).astype("<i4").tofile(base + ".abmi")
 
 
@@ -321,6 +481,7 @@ def cmd_composite(args) -> int:
                 args.qrydir,
                 out_dir=args.outdir if len(args.outdir) >= 3 else None,
                 binvec=args.binvec,
+                device=True if getattr(args, "device_search", False) else None,
             )
             print(report, end="")
             return 0
@@ -329,7 +490,21 @@ def cmd_composite(args) -> int:
             return 0
         if args.searchbv != -1:
             if 0 <= args.searchbv < 3 and args.remaining:
-                fn = abv_search_device if getattr(args, "device_search", False) else abv_search
+                use_dev = bool(getattr(args, "device_search", False))
+                if not use_dev and not getattr(args, "host_search", False):
+                    # auto-select the MXU path once the matrix is big
+                    # enough that the sparse host walk would crawl
+                    base = os.path.join(args.refdir, BINVEC_DIRNAME)
+                    try:
+                        n_species = os.path.getsize(base + ".abmi") // 4
+                        with open(base + ".name") as f:
+                            n_samples = sum(1 for ln in f if ln.strip())
+                        use_dev = (
+                            n_samples * n_species >= ABV_DENSE_THRESHOLD
+                        )
+                    except OSError:
+                        pass
+                fn = abv_search_device if use_dev else abv_search
                 print(fn(args.refdir, args.remaining, args.searchbv), end="")
                 return 0
             print("Usage: kssd_tpu composite -r <ref> -s <0|1|2> <query.abv>")

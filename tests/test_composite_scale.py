@@ -128,3 +128,52 @@ def test_abv_search_device_matches_sparse_ranking(golden7, in_dir):
         b = [l.split("\t")[0] for l in
              composite.abv_search_device("ref_co", qs, 2).splitlines()]
         assert len(a) == len(b)
+
+
+def test_device_join_matches_host(tmp_path):
+    """The device composite backend (join + sort + segment reductions)
+    must produce the exact report text of the host backend."""
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=300, sk=64, seed=7,
+                                  space=1 << 16)
+    host = composite.species_abundance(ref_dir, qry_dir, device=False)
+    dev = composite.species_abundance(ref_dir, qry_dir, device=True)
+    assert dev == host
+    assert host.count("\n") > 10
+
+
+def test_device_join_binvec_matches_host(tmp_path):
+    """-b .abv outputs byte-identical across backends."""
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=300, sk=64, seed=8,
+                                  space=1 << 16)
+    out_h = str(tmp_path / "abv_host")
+    out_d = str(tmp_path / "abv_dev")
+    composite.species_abundance(ref_dir, qry_dir, out_h, binvec=True,
+                                device=False)
+    composite.species_abundance(ref_dir, qry_dir, out_d, binvec=True,
+                                device=True)
+    hfiles = sorted(os.listdir(out_h))
+    assert hfiles == sorted(os.listdir(out_d)) and hfiles
+    for n in hfiles:
+        with open(os.path.join(out_h, n), "rb") as a, \
+             open(os.path.join(out_d, n), "rb") as b:
+            assert a.read() == b.read()
+
+
+@pytest.mark.slow
+def test_composite_20k_ref_scale_device(tmp_path):
+    """Device backend at the 20k-ref scale: equal text, and the timing is
+    printed for the record (the >=10x claim is a TPU bench matter — on
+    the CPU test backend both paths run the same XLA host code)."""
+    import time
+
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=20_000, sk=64, seed=4)
+    t0 = time.perf_counter()
+    host = composite.species_abundance(ref_dir, qry_dir, device=False)
+    t_host = time.perf_counter() - t0
+    composite.species_abundance(ref_dir, qry_dir, device=True)  # warm jit
+    t0 = time.perf_counter()
+    dev = composite.species_abundance(ref_dir, qry_dir, device=True)
+    t_dev = time.perf_counter() - t0
+    assert dev == host
+    print(f"\ncomposite 20k refs x 2 queries: host {t_host:.2f}s, "
+          f"device(cpu-xla) {t_dev:.2f}s")
