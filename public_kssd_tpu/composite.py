@@ -77,11 +77,20 @@ def _segment_stats_np(rids, abunds, n_ref: int):
     return counts, sums, median, maxv, lastsum, lastn
 
 
-def _join_key_device(ref_codes, rid_of, sq, sa, q_len, *, n_ref: int):
+def _join_key_device(ref_codes, rid_of, sq, sa, q_len, *, n_ref: int,
+                     cap: int):
     """Device join of one component's DB codes against one query's sorted
-    sketch -> int64 [R] keys (rid << 32 | abundance), misses keyed to the
-    n_ref pad bucket. The device twin of the reference's per-ref OpenMP
-    probe loop (command_composite.c:464-481)."""
+    sketch, COMPACTED into a ``cap``-slot buffer of int64 keys
+    (rid << 32 | abundance), pads keyed to the n_ref bucket; plus the
+    true hit total for the host's overflow check (retry with a larger
+    cap, like ops/count). The device twin of the reference's per-ref
+    OpenMP probe loop (command_composite.c:464-481).
+
+    Compaction keeps the downstream sort O(hits log hits) instead of
+    O(|DB| log |DB|): at GTDB scale the DB is ~0.4G codes while a
+    query's hits are ~10^3-10^5, so sorting the raw join keys would
+    dwarf the join itself.
+    """
     import jax.numpy as jnp
 
     Q = sq.shape[0]
@@ -90,14 +99,20 @@ def _join_key_device(ref_codes, rid_of, sq, sa, q_len, *, n_ref: int):
     hit = (pos < q_len) & (sq[pos_c] == ref_codes)
     ab = jnp.where(hit, sa[pos_c].astype(jnp.int64), 0)
     rid = jnp.where(hit, rid_of.astype(jnp.int64), n_ref)
-    return (rid << 32) | ab
+    key = (rid << 32) | ab
+    hidx = jnp.cumsum(hit.astype(jnp.int64))
+    total = hidx[-1]
+    dst = jnp.where(hit & (hidx <= cap), hidx - 1, cap)
+    pad = jnp.int64(n_ref) << 32
+    buf = jnp.full(cap + 1, pad, jnp.int64).at[dst].set(key)
+    return buf.at[cap].set(total)  # last slot = true hit total
 
 
 def _segment_stats_device_impl(key, *, n_ref: int):
-    """Device per-ref aggregates from join keys: ONE global sort groups
-    hits by (ref, abundance); counts/sums are scatter-adds; median/max/
-    percentile-window sums are prefix-sum gathers. Integer-exact vs the
-    numpy twin (_segment_stats_np)."""
+    """Device per-ref aggregates from compacted join keys: ONE sort
+    groups hits by (ref, abundance); counts/sums are scatter-adds;
+    median/max/percentile-window sums are prefix-sum gathers.
+    Integer-exact vs the numpy twin (_segment_stats_np)."""
     import jax.numpy as jnp
 
     skey = jnp.sort(key)
@@ -134,21 +149,25 @@ def _device_fns():
         import jax
 
         _DEVICE_FNS = (
-            jax.jit(_join_key_device, static_argnames=("n_ref",)),
+            jax.jit(_join_key_device, static_argnames=("n_ref", "cap")),
             jax.jit(_segment_stats_device_impl, static_argnames=("n_ref",)),
         )
     return _DEVICE_FNS
 
 
-def _query_stats_device(dev_comps, qn: int, n_ref: int):
+def _query_stats_device(dev_comps, qn: int, n_ref: int, cap_state: dict):
     """Per-ref aggregates of query ``qn`` against all components, computed
-    on the device (join + sort + segment reductions)."""
+    on the device (compacted join + one small sort + segment reductions).
+    ``cap_state`` remembers the observed hit count per component so
+    steady-state queries dispatch once."""
     import jax
     import jax.numpy as jnp
 
     join, segment_stats = _device_fns()
     keys = []
-    for ref_dev, rid_dev, qry_codes, qry_index, qry_abund in dev_comps:
+    for ci, (ref_dev, rid_dev, qry_codes, qry_index, qry_abund) in enumerate(
+        dev_comps
+    ):
         q_lo, q_hi = int(qry_index[qn]), int(qry_index[qn + 1])
         qc = qry_codes[q_lo:q_hi]
         qa = qry_abund[q_lo:q_hi]
@@ -159,10 +178,19 @@ def _query_stats_device(dev_comps, qn: int, n_ref: int):
         sq_pad[: sq.size] = sq
         sa_pad = np.zeros(L, np.uint32)
         sa_pad[: sa.size] = sa
-        keys.append(join(
-            ref_dev, rid_dev, jnp.asarray(sq_pad), jnp.asarray(sa_pad),
-            jnp.int64(sq.size), n_ref=n_ref,
-        ))
+        sq_d, sa_d = jnp.asarray(sq_pad), jnp.asarray(sa_pad)
+        cap = cap_state.get(ci, 1 << max(int(max(sq.size * 2 - 1, 1)).bit_length(), 12))
+        while True:
+            buf = join(
+                ref_dev, rid_dev, sq_d, sa_d, jnp.int64(sq.size),
+                n_ref=n_ref, cap=cap,
+            )
+            total = int(buf[-1])
+            if total <= cap:
+                break
+            cap = 1 << int(max(total - 1, 1)).bit_length()
+        cap_state[ci] = max(cap_state.get(ci, 0), cap)
+        keys.append(buf[:-1])
     key = keys[0] if len(keys) == 1 else jnp.concatenate(keys)
     out = segment_stats(key, n_ref=n_ref)
     return tuple(np.asarray(a) for a in jax.device_get(out))
@@ -240,11 +268,12 @@ def species_abundance(
             (jnp.asarray(rc), jnp.asarray(ro.astype(np.int32)), qc, qi, qa)
             for rc, ro, qc, qi, qa in comps
         ]
+        cap_state: dict = {}
     lines: list[str] = []
     for qn in range(qry_stat.infile_num):
         if device:
             counts, sums, median, maxv, lastsum, lastn = _query_stats_device(
-                dev_comps, qn, n_ref
+                dev_comps, qn, n_ref, cap_state
             )
         else:
             counts, sums, median, maxv, lastsum, lastn = _query_stats_host(
