@@ -1,13 +1,29 @@
 """Benchmarks vs BASELINE.md on ONE chip.
 
-1. TPU correctness gate: the Pallas sketch kernel must agree with the
-   jnp path on the real chip (Mosaic lowering quirks do not reproduce in
-   interpret mode — see ops/pallas_sketch.py).
-2. Pair counting: shared-k-mer counts on a synthetic 1k-query x 10k-ref
-   DB (the search hot loop, command_dist.c:779-784).
-3. HEADLINE (last JSON line): end-to-end genomes sketched/s from gzipped
-   fasta on disk — the BASELINE.md stage-I config (20 x ~5.3 Mb,
-   k=10/s=6/l=3 -> 6 genomes/s on a 64-vCPU x86 reference box).
+Sections (each emits one JSON line; the LAST line is the headline):
+
+  1. TPU correctness gate: the Pallas sketch kernel must agree with the
+     jnp path on the real chip (Mosaic lowering quirks do not reproduce
+     in interpret mode — see ops/pallas_sketch.py).
+  2. Pair counting at TWO DB sizes: 10k refs (13M postings) and 100k
+     refs (130M postings), with the capacity-learning first call timed
+     separately from steady state (the search hot loop,
+     command_dist.c:779-784).
+  3. GTDB-317k flagship THROUGH THE ON-DISK ARTIFACTS (SURVEY C17):
+     synthetic 317k-genome x ~1,300-code DB -> combco -> stage II CSR
+     sidecar -> load_sparse_index -> -m-governed counting on the chip ->
+     top-N statistics, plus device composite. Reports pairs/s, peak
+     host RSS and DB HBM bytes.
+  4. Scaling proxies on CPU subprocesses (ratios only, stated as such):
+     sharded-search wall at 1 vs 8 virtual devices, and 1- vs 2-process
+     jax.distributed sketching.
+  5. Sketch stage breakdown (parse / pack+upload+kernel / dedup,
+     unpipelined) + measured tunnel bandwidth + the DEFAULT
+     (compat-order dedup) genomes/s.
+  6. HEADLINE: end-to-end genomes sketched/s from gzipped fasta on disk
+     with the TPU-native sorted dedup — the BASELINE.md stage-I config
+     (20 x ~5.3 Mb, k=10/s=6/l=3 -> 6 genomes/s on a 64-vCPU x86
+     reference box).
 """
 
 from __future__ import annotations
@@ -15,15 +31,40 @@ from __future__ import annotations
 import json
 import math
 import os
+import subprocess
 import sys
+import textwrap
 import time
 
 import numpy as np
 
 BASELINE_GENOMES_PER_S = 6.0  # BASELINE.md stage I measurement
+BASELINE_PAIRS_PER_S = 220 / 0.11  # BASELINE.md search measurement
 GENOME_MB = 5.3
 N_TIMED = 10
 DATA_DIR = "/tmp/kssd_bench_data"
+GTDB_DIR = "/tmp/kssd_bench_gtdb"
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _guard(name: str, fn) -> None:
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — a failed section must not
+        # take down the sections after it; the error is the record
+        _emit({"metric": name, "error": f"{type(e).__name__}: {e}"})
+
+
+def _rss_gb() -> float:
+    import resource
+
+    return round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+    )
 
 
 def _make_data() -> list[str]:
@@ -40,7 +81,6 @@ def _make_data() -> list[str]:
             continue
         n = int(GENOME_MB * 1e6)
         seq = lut[rng.integers(0, 4, size=n).astype(np.uint8)]
-        lines = []
         width = 80
         header = f">chr1 synthetic bench genome {i}\n".encode()
         body = seq.tobytes()
@@ -75,14 +115,23 @@ def assert_pallas_correct(params, computed) -> None:
     assert keep_p[m:].sum() == 0
 
 
-def bench_counting(n_qry: int = 1000, n_ref: int = 10_000) -> dict:
-    """Shared-k counting throughput on a synthetic DB shaped like the
-    BASELINE config (~1,300 codes per genome at k=10/l=3)."""
+def _synth_csr(n_ref: int, sketch_sz: int, seed: int):
+    """Synthetic CSR index + planted-hit queries, cached on disk (the
+    100k build needs a 130M-element argsort on this 2-vCPU host)."""
     from public_kssd_tpu import index as index_mod
-    from public_kssd_tpu.ops import count as count_ops
 
-    rng = np.random.default_rng(42)
-    sketch_sz = 1300
+    tag = os.path.join(DATA_DIR, f"csr_{n_ref}_{sketch_sz}_{seed}")
+    os.makedirs(DATA_DIR, exist_ok=True)
+    if os.path.isfile(tag + ".uniq.npy"):
+        sp = index_mod.SparseIndex(
+            uniq_codes=np.load(tag + ".uniq.npy"),
+            offsets=np.load(tag + ".off.npy"),
+            gids=np.load(tag + ".gids.npy"),
+            n_genomes=n_ref,
+        )
+        qry = np.load(tag + ".qry.npy")
+        return sp, qry
+    rng = np.random.default_rng(seed)
     space = 1 << 28  # 4(k-l)=28-bit code space
     ref_codes = rng.integers(0, space, size=(n_ref, sketch_sz), dtype=np.uint64)
     flat = np.sort(ref_codes, axis=None).astype(np.uint32)
@@ -97,18 +146,35 @@ def bench_counting(n_qry: int = 1000, n_ref: int = 10_000) -> dict:
         gids=gids.astype(np.uint32),
         n_genomes=n_ref,
     )
-    qry_codes = rng.integers(0, space, size=n_qry * sketch_sz, dtype=np.uint64)
-    # make ~30% of query codes real DB hits so postings walks happen
-    hit = rng.random(qry_codes.size) < 0.3
-    qry_codes[hit] = ref_codes.ravel()[
+    n_qry = 1000
+    qry = rng.integers(0, space, size=n_qry * sketch_sz, dtype=np.uint64)
+    hit = rng.random(qry.size) < 0.3
+    qry[hit] = ref_codes.ravel()[
         rng.integers(0, ref_codes.size, size=int(hit.sum()))
     ]
-    qry_codes = qry_codes.astype(np.uint32)
+    qry = qry.astype(np.uint32)
+    np.save(tag + ".uniq.npy", sp.uniq_codes)
+    np.save(tag + ".off.npy", sp.offsets)
+    np.save(tag + ".gids.npy", sp.gids)
+    np.save(tag + ".qry.npy", qry)
+    return sp, qry
+
+
+def bench_counting(n_qry: int = 1000, n_ref: int = 10_000) -> None:
+    """Shared-k counting throughput on a synthetic DB shaped like the
+    BASELINE config (~1,300 codes per genome at k=10/l=3)."""
+    from public_kssd_tpu.ops import count as count_ops
+
+    sketch_sz = 1300
+    sp, qry_codes = _synth_csr(n_ref, sketch_sz, 42)
+    qry_codes = qry_codes[: n_qry * sketch_sz]
     qry_index = (np.arange(n_qry + 1, dtype=np.uint64)) * sketch_sz
 
-    # warmup twice: call 1 learns the DB's pair density (ops/count),
-    # call 2 compiles the steady-state capacity shape
+    # first call learns the DB's pair density AND compiles: the
+    # capacity-retry path, timed separately
+    t0 = time.perf_counter()
     count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
+    first_call = time.perf_counter() - t0
     counts = count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
     dt = math.inf
     for _ in range(3):  # best-of-3: the device tunnel has heavy jitter
@@ -116,13 +182,347 @@ def bench_counting(n_qry: int = 1000, n_ref: int = 10_000) -> dict:
         counts = count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
         dt = min(dt, time.perf_counter() - t0)
     pairs = n_qry * n_ref
-    return {
-        "metric": "sketch_pairs_per_s_per_chip",
+    _emit({
+        "metric": f"sketch_pairs_per_s_per_chip_{n_ref // 1000}k",
         "value": round(pairs / dt, 1),
-        "unit": f"genome pairs/s ({n_qry} qry x {n_ref} ref, {sketch_sz} codes/sketch)",
-        "vs_baseline": round((pairs / dt) / (220 / 0.11), 3),
+        "unit": f"genome pairs/s ({n_qry} qry x {n_ref} ref, "
+                f"{sketch_sz} codes/sketch, {sp.gids.size} postings)",
+        "vs_baseline": round((pairs / dt) / BASELINE_PAIRS_PER_S, 3),
+        "first_call_s": round(first_call, 3),
+        "steady_s": round(dt, 3),
         "checksum": int(counts.sum()),
-    }
+    })
+
+
+def bench_gtdb() -> None:
+    """The 317k-genome GTDB flagship through the on-disk artifact path."""
+    import jax
+
+    from public_kssd_tpu import (
+        composite, formats, index as index_mod, search, synthdb,
+    )
+    from public_kssd_tpu.ops import count as count_ops
+    from public_kssd_tpu.ops import stats as stats_ops
+
+    n_ref, sk = 317_000, 1300
+    n_qry, n_koc = 64, 8
+    ref = os.path.join(GTDB_DIR, "ref")
+    qry = os.path.join(GTDB_DIR, "qry")
+    koc = os.path.join(GTDB_DIR, "koc")
+    t0 = time.perf_counter()
+    synthdb.build_synth_ref(ref, n_ref, sk, seed=21)
+    synthdb.build_synth_queries(qry, ref, n_qry, sk, seed=22)
+    synthdb.build_synth_queries(koc, ref, n_koc, sk, seed=23, koc=True)
+    t_build = time.perf_counter() - t0
+    t_index = 0.0
+    if not os.path.isfile(os.path.join(ref, "mco.uniq.0")):
+        t0 = time.perf_counter()
+        index_mod.run_stage2(ref, ref, 7, dense=False)
+        t_index = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _, comps = index_mod.load_sparse_index(ref)
+    sp = comps[0]
+    t_load = time.perf_counter() - t0
+    db_gb = (sp.uniq_codes.nbytes + sp.offsets.nbytes + sp.gids.nbytes) / 1e9
+    t0 = time.perf_counter()
+    for a in count_ops._device_index(sp):
+        a.block_until_ready()
+    t_upload = time.perf_counter() - t0
+
+    # -m-governed counting (disk-backed matrix), one warm + one timed
+    skf = os.path.join(GTDB_DIR, "sharedk_ct.dat")
+    counts = np.memmap(skf, dtype="<u4", mode="w+", shape=(n_qry, n_ref))
+    batch = search.query_batch_size(n_qry, n_ref, 16.0)
+    search.compute_shared_counts(qry, comps, n_qry, True,
+                                 counts_out=counts, batch=batch)
+    t0 = time.perf_counter()
+    search.compute_shared_counts(qry, comps, n_qry, True,
+                                 counts_out=counts, batch=batch)
+    t_count = time.perf_counter() - t0
+    pairs = n_qry * n_ref
+
+    # top-N statistics over the full 317k-column matrix
+    qstat = formats.read_co_stat(qry)
+    rstat = formats.read_mco_stat(ref)
+    t0 = time.perf_counter()
+    stats_ops.write_distance_out(
+        os.path.join(GTDB_DIR, "distance.out"), counts,
+        rstat.ctx_ct, qstat.ctx_ct, rstat.names, qstat.names,
+        qstat.kmerlen, qstat.dim_rd_len,
+        stats_ops.OutputOptions(top_n=100),
+    )
+    t_print = time.perf_counter() - t0
+    _emit({
+        "metric": "gtdb317k_search_pairs_per_s_per_chip",
+        "value": round(pairs / t_count, 1),
+        "unit": f"genome pairs/s ({n_qry} qry x {n_ref} ref, {sk} codes/"
+                f"sketch, {sp.gids.size} postings, -m 16GB batch={batch})",
+        "vs_baseline": round((pairs / t_count) / BASELINE_PAIRS_PER_S, 3),
+        "db_hbm_gb": round(db_gb, 2),
+        "index_upload_s": round(t_upload, 1),
+        "stage2_csr_build_s": round(t_index, 1),
+        "artifact_build_s": round(t_build, 1),
+        "index_load_s": round(t_load, 1),
+        "topn_print_s": round(t_print, 1),
+        "peak_rss_gb": _rss_gb(),
+        "checksum": int(np.asarray(counts[:4]).sum()),
+    })
+
+    # composite over the same DB (device join, koc queries)
+    rep = composite.species_abundance(ref, koc, device=True)  # warm
+    t0 = time.perf_counter()
+    rep = composite.species_abundance(ref, koc, device=True)
+    t_comp = time.perf_counter() - t0
+    _emit({
+        "metric": "gtdb317k_composite_queries_per_s",
+        "value": round(n_koc / t_comp, 2),
+        "unit": f"koc queries/s vs {n_ref} refs x {sk} codes (device join)",
+        "report_rows": rep.count("\n"),
+        "peak_rss_gb": _rss_gb(),
+    })
+
+
+_SCALING_CHILD = textwrap.dedent("""
+    import json, os, sys, time
+    import numpy as np
+    n_dev = int(sys.argv[1])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_dev}"
+    )
+    sys.path.insert(0, sys.argv[2])
+    import jax
+    from jax.sharding import Mesh
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.parallel import sharded_search
+    from public_kssd_tpu import formats
+    import tempfile
+    rng = np.random.default_rng(5)
+    n_ref, sk, n_qry, space = 50_000, 128, 256, 1 << 28
+    ref = rng.integers(0, space, size=(n_ref, sk), dtype=np.uint64)
+    sp = index_mod.build_component_index(
+        ref.ravel().astype(np.uint32),
+        np.arange(n_ref + 1, dtype=np.uint64) * sk, n_ref)
+    qry = rng.integers(0, space, size=n_qry * sk, dtype=np.uint64)
+    hit = rng.random(qry.size) < 0.5
+    qry[hit] = ref.ravel()[rng.integers(0, ref.size, size=int(hit.sum()))]
+    qry = qry.astype(np.uint32)
+    shapes = {1: (1, 1), 2: (1, 2), 4: (2, 2), 8: (2, 4)}
+    dp, rf = shapes[n_dev]
+    mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(dp, rf),
+                ("dp", "ref"))
+    with tempfile.TemporaryDirectory() as d:
+        formats.write_combco(d, 0, qry,
+                             np.arange(n_qry + 1, dtype=np.uint64) * sk)
+        formats.write_co_stat(d, formats.CoStat(
+            params_id=9, koc=False, kmerlen=20, dim_rd_len=6, comp_num=1,
+            infile_num=n_qry, all_ctx_ct=int(qry.size),
+            ctx_ct=np.full(n_qry, sk, np.uint32),
+            names=[f"q{i}" for i in range(n_qry)]))
+        sharded_search.sharded_search_counts(d, [sp], 0, mesh)  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sharded_search.sharded_search_counts(d, [sp], 0, mesh)
+            best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"n_dev": n_dev, "wall_s": best}))
+""")
+
+_SKETCH_CHILD = textwrap.dedent("""
+    import json, os, sys, time
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, sys.argv[1])
+    n_proc, pid, coord, data_dir = (
+        int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5])
+    if n_proc > 1:
+        from public_kssd_tpu.parallel import distributed
+        distributed.initialize(coord, n_proc, pid)
+    import numpy as np
+    from public_kssd_tpu import pipeline, shufspace
+    from public_kssd_tpu.config import SketchParams
+    paths = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".fasta.gz"))[:8]
+    mine = paths[pid::n_proc]
+    params = SketchParams(id=1, half_ctx_len=10, half_subctx_len=6,
+                          drlevel=3)
+    shuf = shufspace.ComputedShuf(params.id, params.half_subctx_len)
+    out = os.path.join(data_dir, f"skout_{n_proc}_{pid}")
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    pipeline.run_stage1(mine, out, params, shuf,
+                        pipeline.SketchOptions(compat_order=False))
+    print(json.dumps({"pid": pid, "wall_s": time.perf_counter() - t0,
+                      "n": len(mine)}))
+""")
+
+
+def _clean_cpu_env() -> dict:
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = ":".join(
+        [REPO] + [p for p in env.get("PYTHONPATH", "").split(":")
+                  if p and ".axon_site" not in p]
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def bench_scaling() -> None:
+    """Scaling proxies on CPU subprocesses. The 8 virtual devices share
+    this host's 2 physical cores, so the measurable quantity is the
+    OVERHEAD of decomposition + collectives (wall_N / wall_1 at fixed
+    total work; 1.0 = free sharding), not real chip scaling — stated as
+    such. Real multi-chip scaling needs a pod slice this environment
+    does not have (BASELINE.md north star >= 80%)."""
+    script = os.path.join(DATA_DIR, "scaling_child.py")
+    os.makedirs(DATA_DIR, exist_ok=True)
+    with open(script, "w") as f:
+        f.write(_SCALING_CHILD)
+    walls = {}
+    for n_dev in (1, 2, 4, 8):
+        out = subprocess.run(
+            [sys.executable, script, str(n_dev), REPO],
+            env=_clean_cpu_env(), capture_output=True, text=True,
+            timeout=900,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-1000:])
+        walls[n_dev] = json.loads(out.stdout.strip().splitlines()[-1])["wall_s"]
+    eff = {n: round(100 * walls[1] / walls[n], 1) for n in (2, 4, 8)}
+    _emit({
+        "metric": "sharded_search_efficiency_proxy_pct",
+        "value": eff[8],
+        "unit": "100*T1/T8 wall, fixed 50k-ref DB on a 2-core 8-virtual-"
+                "device CPU mesh: decomposition+psum overhead proxy "
+                "(100 = free sharding). NOT chip scaling — no pod here; "
+                "BASELINE north star >=80% on real hosts",
+        "per_n": {str(n): eff[n] for n in eff},
+        "wall_s": {str(n): round(w, 2) for n, w in walls.items()},
+    })
+
+    # 1- vs 2-process jax.distributed sketching over the bench genomes
+    sketch_script = os.path.join(DATA_DIR, "sketch_child.py")
+    with open(sketch_script, "w") as f:
+        f.write(_SKETCH_CHILD)
+    _make_data()
+
+    def run_procs(n_proc: int) -> float:
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            coord = f"127.0.0.1:{s.getsockname()[1]}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, sketch_script, REPO, str(n_proc), str(i),
+                 coord, DATA_DIR],
+                env=_clean_cpu_env(), stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+            for i in range(n_proc)
+        ]
+        walls = []
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            if p.returncode != 0:
+                raise RuntimeError(err[-1000:])
+            walls.append(json.loads(out.strip().splitlines()[-1])["wall_s"])
+        return max(walls)
+
+    t1 = run_procs(1)
+    t2 = run_procs(2)
+    _emit({
+        "metric": "sketch_2proc_split_efficiency_proxy_pct",
+        "value": round(100 * t1 / t2 / 2, 1) if t2 else 0.0,
+        "unit": "100*T1/(2*T2), 8 genomes split over 2 jax.distributed "
+                "processes on 2 shared cores (CPU backend; ratio proxy "
+                "only — single-process XLA already uses both cores, so "
+                "50% is the shared-core ideal here)",
+        "wall_1proc_s": round(t1, 2),
+        "wall_2proc_s": round(t2, 2),
+    })
+
+
+def bench_sketch_breakdown(paths, params, shuffled_dev) -> None:
+    """Unpipelined stage split + tunnel bandwidth + default-path number.
+
+    The headline pipeline OVERLAPS these stages; the split attributes
+    where the wall is (BASELINE 'speed-of-light' north star)."""
+    import jax
+    import jax.numpy as jnp
+
+    from public_kssd_tpu import hashdedup, pipeline
+    from public_kssd_tpu.ops import sketch as sketch_ops
+
+    # measured tunnel bandwidth: one 64 MB upload
+    buf = np.random.default_rng(0).integers(
+        0, 2**32, size=16 << 20, dtype=np.uint32
+    )
+    jnp.asarray(buf[:1024]).block_until_ready()  # wake the device
+    t0 = time.perf_counter()
+    jnp.asarray(buf).block_until_ready()
+    up_bw = buf.nbytes / (time.perf_counter() - t0) / 1e6
+
+    parse_opts = pipeline.SketchOptions()
+    t0 = time.perf_counter()
+    syms = [s for _, _, s in pipeline.parsed_streams(paths, parse_opts)]
+    t_parse = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    kept = sketch_ops.sketch_codes_multi(iter(syms), shuffled_dev, params)
+    t_kernel = time.perf_counter() - t0  # pack + upload + kernel + fetch
+    t0 = time.perf_counter()
+    n_fast = sum(hashdedup.dedup_sorted(k).size for k in kept)
+    t_dedup_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_compat = sum(
+        hashdedup.dedup_slot_order(k, params).size for k in kept
+    )
+    t_dedup_compat = time.perf_counter() - t0
+    assert n_fast == n_compat
+    packed_mb = sum(s.size for s in syms) / 4 / 1e6
+    _emit({
+        "metric": "sketch_stage_breakdown",
+        "value": round(t_parse + t_kernel + t_dedup_fast, 2),
+        "unit": f"seconds, unpipelined, {len(paths)} x {GENOME_MB} Mb "
+                "genomes (the pipeline overlaps parse with device work)",
+        "parse_s": round(t_parse, 2),
+        "pack_upload_kernel_s": round(t_kernel, 2),
+        "dedup_sorted_s": round(t_dedup_fast, 2),
+        "dedup_compat_order_s": round(t_dedup_compat, 2),
+        "tunnel_upload_MBps": round(up_bw, 1),
+        "packed_upload_mb": round(packed_mb, 1),
+        "tunnel_floor_s": round(packed_mb / up_bw * 1e0, 2),
+    })
+
+
+def _sketch_run(paths, params, shuffled_dev, compat: bool) -> float:
+    """Best-of-3 pipelined genomes/s for one dedup mode."""
+    from public_kssd_tpu import hashdedup, pipeline
+    from public_kssd_tpu.ops import sketch as sketch_ops
+
+    parse_opts = pipeline.SketchOptions()
+
+    def sketch_batch(batch: list[str]) -> int:
+        streams = (
+            s for _, _, s in pipeline.parsed_streams(batch, parse_opts)
+        )  # lazy: parsing overlaps pack/upload/compute
+        kept = sketch_ops.sketch_codes_multi(streams, shuffled_dev, params)
+        if compat:
+            return sum(
+                hashdedup.dedup_slot_order(k, params).size for k in kept
+            )
+        return sum(hashdedup.dedup_sorted(k).size for k in kept)
+
+    sketch_batch(paths)  # warmup: compile / load every bucket shape
+    dt = math.inf
+    for _ in range(3):  # best-of-3 against tunnel jitter
+        t0 = time.perf_counter()
+        sketch_batch(paths)
+        dt = min(dt, time.perf_counter() - t0)
+    return len(paths) / dt
 
 
 def main() -> None:
@@ -137,9 +537,8 @@ def main() -> None:
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
     )
 
-    from public_kssd_tpu import hashdedup, pipeline, shufspace
+    from public_kssd_tpu import shufspace
     from public_kssd_tpu.config import SketchParams
-    from public_kssd_tpu.ops import sketch as sketch_ops
 
     params = SketchParams(id=1, half_ctx_len=10, half_subctx_len=6, drlevel=3)
     # the framework's default shuffle space: computed Feistel permutation
@@ -150,39 +549,34 @@ def main() -> None:
         assert_pallas_correct(params, shuffled_dev)
         print("pallas-vs-jnp equality on TPU: OK", file=sys.stderr)
 
-    print(json.dumps(bench_counting()), flush=True)
+    _guard("sketch_pairs_per_s_per_chip_10k", lambda: bench_counting())
+    _guard(
+        "sketch_pairs_per_s_per_chip_100k",
+        lambda: bench_counting(n_qry=1000, n_ref=100_000),
+    )
+    _guard("gtdb317k", bench_gtdb)
+    _guard("scaling_proxies", bench_scaling)
 
     paths = _make_data()
-    parse_opts = pipeline.SketchOptions()
-
-    def sketch_batch(batch: list[str]) -> int:
-        streams = (
-            s for _, _, s in pipeline.parsed_streams(batch, parse_opts)
-        )  # lazy: parsing overlaps pack/upload/compute
-        kept = sketch_ops.sketch_codes_multi(streams, shuffled_dev, params)
-        return sum(hashdedup.dedup_sorted(k).size for k in kept)
-
-    # warmup: the SAME batch as the timed run, so every bucket shape is
-    # compiled (or loaded from the persistent cache) before timing
-    sketch_batch(paths[2 : 2 + N_TIMED])
-
-    dt = math.inf
-    for _ in range(3):  # best-of-3 against tunnel jitter
-        t0 = time.perf_counter()
-        total_codes = sketch_batch(paths[2 : 2 + N_TIMED])
-        dt = min(dt, time.perf_counter() - t0)
-
-    genomes_per_s = N_TIMED / dt
-    print(
-        json.dumps(
-            {
-                "metric": "genomes_sketched_per_s_per_chip",
-                "value": round(genomes_per_s, 3),
-                "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3)",
-                "vs_baseline": round(genomes_per_s / BASELINE_GENOMES_PER_S, 3),
-            }
-        )
+    timed = paths[2 : 2 + N_TIMED]
+    _guard(
+        "sketch_stage_breakdown",
+        lambda: bench_sketch_breakdown(timed, params, shuffled_dev),
     )
+    _guard("genomes_default_path", lambda: _emit({
+        "metric": "genomes_sketched_per_s_per_chip_default_compat",
+        "value": round(_sketch_run(timed, params, shuffled_dev, True), 3),
+        "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3, DEFAULT "
+                "compat-order host dedup — byte-identical sketch files)",
+    }))
+
+    genomes_per_s = _sketch_run(timed, params, shuffled_dev, False)
+    _emit({
+        "metric": "genomes_sketched_per_s_per_chip",
+        "value": round(genomes_per_s, 3),
+        "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3)",
+        "vs_baseline": round(genomes_per_s / BASELINE_GENOMES_PER_S, 3),
+    })
 
 
 if __name__ == "__main__":

@@ -199,9 +199,7 @@ def count_shared_weighted(
     qq[: qry_codes.size] = qid_of
     qw = np.zeros(L, dtype=np.uint32)
     qw[: qry_codes.size] = qry_weights
-    uniq = jnp.asarray(sparse_index.uniq_codes)
-    offs = jnp.asarray(sparse_index.offsets)
-    g = jnp.asarray(sparse_index.gids)
+    uniq, offs, g = _device_index(sparse_index)
     qc_d, qq_d = jnp.asarray(qc), jnp.asarray(qq)
     out = _run_counting(
         count_shared_weighted_device,
@@ -209,6 +207,22 @@ def count_shared_weighted(
         qry_codes.size, sparse_index, n_qry, n_ref,
     )
     return out[:-1].reshape(n_qry, n_ref)
+
+
+def _device_index(sparse_index):
+    """The CSR arrays as device-resident jax arrays, cached ON the index
+    object: -m batched search dispatches many counting calls against one
+    DB, and re-uploading a multi-GB index per batch would swamp the
+    kernel (the device tunnel runs ~50 MB/s)."""
+    dev = getattr(sparse_index, "_dev_arrays", None)
+    if dev is None:
+        dev = (
+            jnp.asarray(sparse_index.uniq_codes),
+            jnp.asarray(sparse_index.offsets),
+            jnp.asarray(sparse_index.gids),
+        )
+        sparse_index._dev_arrays = dev
+    return dev
 
 
 def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
@@ -271,9 +285,7 @@ def count_shared(
     qc[: qry_codes.size] = qry_codes
     qq = np.full(L, -1, dtype=np.int32)
     qq[: qry_codes.size] = qid_of
-    uniq = jnp.asarray(sparse_index.uniq_codes)
-    offs = jnp.asarray(sparse_index.offsets)
-    g = jnp.asarray(sparse_index.gids)
+    uniq, offs, g = _device_index(sparse_index)
     qc_d = jnp.asarray(qc)
     qq_d = jnp.asarray(qq)
     out = _run_counting(
