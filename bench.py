@@ -214,7 +214,7 @@ def bench_gtdb() -> None:
     synthdb.build_synth_queries(qry, ref, n_qry, sk, seed=22)
     synthdb.build_synth_queries(koc, ref, n_koc, sk, seed=23, koc=True)
     t_build = time.perf_counter() - t0
-    t_index = 0.0
+    t_index = None  # cached artifacts from an earlier run
     if not os.path.isfile(os.path.join(ref, "mco.uniq.0")):
         t0 = time.perf_counter()
         index_mod.run_stage2(ref, ref, 7, dense=False)
@@ -261,13 +261,26 @@ def bench_gtdb() -> None:
         "vs_baseline": round((pairs / t_count) / BASELINE_PAIRS_PER_S, 3),
         "db_hbm_gb": round(db_gb, 2),
         "index_upload_s": round(t_upload, 1),
-        "stage2_csr_build_s": round(t_index, 1),
+        "stage2_csr_build_s": (
+            round(t_index, 1) if t_index is not None else "cached"
+        ),
         "artifact_build_s": round(t_build, 1),
         "index_load_s": round(t_load, 1),
         "topn_print_s": round(t_print, 1),
         "peak_rss_gb": _rss_gb(),
         "checksum": int(np.asarray(counts[:4]).sum()),
     })
+
+    # free the search index's device residency BEFORE composite uploads
+    # its own 3.3 GB — both resident at once exhausts a 16 GB chip
+    # (observed: TPU worker crash)
+    import gc
+
+    del counts
+    if hasattr(sp, "_dev_arrays"):
+        del sp._dev_arrays
+    del sp, comps
+    gc.collect()
 
     # composite over the same DB (device join, koc queries)
     rep = composite.species_abundance(ref, koc, device=True)  # warm
@@ -299,7 +312,7 @@ _SCALING_CHILD = textwrap.dedent("""
     from public_kssd_tpu import formats
     import tempfile
     rng = np.random.default_rng(5)
-    n_ref, sk, n_qry, space = 50_000, 128, 256, 1 << 28
+    n_ref, sk, n_qry, space = 100_000, 256, 512, 1 << 28
     ref = rng.integers(0, space, size=(n_ref, sk), dtype=np.uint64)
     sp = index_mod.build_component_index(
         ref.ravel().astype(np.uint32),
@@ -549,6 +562,38 @@ def main() -> None:
         assert_pallas_correct(params, shuffled_dev)
         print("pallas-vs-jnp equality on TPU: OK", file=sys.stderr)
 
+    # the sketch numbers are measured FIRST — a later heavy section that
+    # crashes the TPU worker (observed once at GTDB scale) must not cost
+    # the headline — but the headline line PRINTS last (driver contract).
+    paths = _make_data()
+    timed = paths[2 : 2 + N_TIMED]
+    held: list[dict] = []
+
+    def measure_headline():
+        v = _sketch_run(timed, params, shuffled_dev, False)
+        held.append({
+            "metric": "genomes_sketched_per_s_per_chip",
+            "value": round(v, 3),
+            "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3)",
+            "vs_baseline": round(v / BASELINE_GENOMES_PER_S, 3),
+        })
+
+    def measure_default():
+        v = _sketch_run(timed, params, shuffled_dev, True)
+        held.insert(0, {
+            "metric": "genomes_sketched_per_s_per_chip_default_compat",
+            "value": round(v, 3),
+            "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3, DEFAULT "
+                    "compat-order host dedup — byte-identical sketch files)",
+        })
+
+    _guard("genomes_sketched_per_s_per_chip", measure_headline)
+    _guard("genomes_default_path", measure_default)
+    _guard(
+        "sketch_stage_breakdown",
+        lambda: bench_sketch_breakdown(timed, params, shuffled_dev),
+    )
+
     _guard("sketch_pairs_per_s_per_chip_10k", lambda: bench_counting())
     _guard(
         "sketch_pairs_per_s_per_chip_100k",
@@ -557,26 +602,8 @@ def main() -> None:
     _guard("gtdb317k", bench_gtdb)
     _guard("scaling_proxies", bench_scaling)
 
-    paths = _make_data()
-    timed = paths[2 : 2 + N_TIMED]
-    _guard(
-        "sketch_stage_breakdown",
-        lambda: bench_sketch_breakdown(timed, params, shuffled_dev),
-    )
-    _guard("genomes_default_path", lambda: _emit({
-        "metric": "genomes_sketched_per_s_per_chip_default_compat",
-        "value": round(_sketch_run(timed, params, shuffled_dev, True), 3),
-        "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3, DEFAULT "
-                "compat-order host dedup — byte-identical sketch files)",
-    }))
-
-    genomes_per_s = _sketch_run(timed, params, shuffled_dev, False)
-    _emit({
-        "metric": "genomes_sketched_per_s_per_chip",
-        "value": round(genomes_per_s, 3),
-        "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3)",
-        "vs_baseline": round(genomes_per_s / BASELINE_GENOMES_PER_S, 3),
-    })
+    for obj in held:  # default-path first, HEADLINE last
+        _emit(obj)
 
 
 if __name__ == "__main__":

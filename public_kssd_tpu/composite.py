@@ -100,7 +100,9 @@ def _join_key_device(ref_codes, rid_of, sq, sa, q_len, *, n_ref: int,
     ab = jnp.where(hit, sa[pos_c].astype(jnp.int64), 0)
     rid = jnp.where(hit, rid_of.astype(jnp.int64), n_ref)
     key = (rid << 32) | ab
-    hidx = jnp.cumsum(hit.astype(jnp.int64))
+    # int32 cumsum: |DB| < 2^31 postings per component, and the int64
+    # variant doubles this kernel's largest transient at GTDB scale
+    hidx = jnp.cumsum(hit.astype(jnp.int32))
     total = hidx[-1]
     dst = jnp.where(hit & (hidx <= cap), hidx - 1, cap)
     pad = jnp.int64(n_ref) << 32

@@ -113,6 +113,20 @@ def build_sharded_db(
     for s in range(n_shards):
         lo, hi = int(row_bounds[s]), int(row_bounds[s + 1])
         g_pad = max(g_pad, int(offsets[hi] - offsets[lo]))
+    # padding waste telemetry: every shard is padded to the max shard's
+    # shape (shard_map needs uniform blocks), so code-space skew inflates
+    # HBM residency. The postings-balanced cut keeps this near 1.0 for
+    # realistic DBs; a hot code region shows up here before it OOMs.
+    waste_rows = n_shards * nnz_pad / max(key.size, 1)
+    waste_gids = n_shards * g_pad / max(total, 1)
+    if max(waste_rows, waste_gids) > 1.5:
+        from public_kssd_tpu import utils
+
+        utils.log.warning(
+            "sharded DB padding waste: rows x%.2f, postings x%.2f over "
+            "%d shards (skewed code space?) — HBM residency is the "
+            "padded size", waste_rows, waste_gids, n_shards,
+        )
     uniq = np.full((n_shards, nnz_pad), np.iinfo(np.uint64).max, dtype=np.uint64)
     offs = np.zeros((n_shards, nnz_pad + 1), dtype=np.int64)
     gd = np.zeros((n_shards, g_pad), dtype=np.uint32)
