@@ -23,7 +23,8 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO]
+    cmd = ["cc", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO,
+           "-lm"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -67,6 +68,14 @@ def get_lib():
     ]
     lib.kssd_pack2.restype = None
     lib.kssd_pack2.argtypes = [u8p, ctypes.c_size_t, u32p, ctypes.c_size_t]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.kssd_dist_row.restype = ctypes.c_size_t
+    lib.kssd_dist_row.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, u8p, i64p, u32p, u32p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+    ]
     _lib = lib
     return _lib
 
@@ -136,6 +145,48 @@ def dedup_u32_slot_order(codes: np.ndarray, hashsize: int) -> np.ndarray | None:
     out = np.empty(hashsize, dtype=np.uint32)
     n = lib.kssd_dedup_u32_slot_order(codes, codes.size, table, hashsize, out)
     return out[:n].copy()
+
+
+def dist_row(
+    path: str,
+    qname: str,
+    names_blob: np.ndarray,
+    name_off: np.ndarray,
+    ref_sizes: np.ndarray,
+    counts_row: np.ndarray,
+    y_size: int,
+    kmerlen: int,
+    dim_rd_len: int,
+    cmprsn_num: float,
+    metric: int,
+    pfield: int,
+    correction: int,
+    dthreshold: float,
+    rid_sel: np.ndarray | None = None,
+) -> int | None:
+    """Append one query's distance.out lines at C printf speed
+    (reference-exact output_ctrl semantics). None if the lib is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sel_ptr, n_sel = None, 0
+    if rid_sel is not None:
+        rid_sel = np.ascontiguousarray(rid_sel, dtype=np.int64)
+        sel_ptr = rid_sel.ctypes.data
+        n_sel = rid_sel.size
+    n = lib.kssd_dist_row(
+        path.encode(), qname.encode(),
+        np.ascontiguousarray(names_blob, np.uint8),
+        np.ascontiguousarray(name_off, np.int64),
+        np.ascontiguousarray(ref_sizes, np.uint32),
+        np.ascontiguousarray(counts_row, np.uint32),
+        counts_row.size, sel_ptr, n_sel,
+        y_size, kmerlen, dim_rd_len, cmprsn_num,
+        metric, pfield, correction, dthreshold,
+    )
+    if n == ctypes.c_size_t(-1).value:
+        return None
+    return n
 
 
 def pack2(symbols: np.ndarray, total: int) -> np.ndarray | None:

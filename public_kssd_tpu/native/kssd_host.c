@@ -282,3 +282,91 @@ void kssd_pack2(const uint8_t *sym, size_t n, uint32_t *out, size_t nwords)
             out[full] = v;
     }
 }
+
+/* ---------------------------------------------------------------------
+ * distance.out line writer: one query row of dist_print_nobin lines
+ * (output_ctrl, command_dist.c:1252-1287), appended to `path`.
+ *
+ * Reference-exact BY CONSTRUCTION: same libm, same glibc printf, same
+ * x86 double semantics (log(neg) = -nan, 0/0 = -nan, (unsigned)nan = 0
+ * after the int64 truncation gcc emits) as the reference build — the
+ * Python twin in ops/stats.py has to emulate each of those corners.
+ * Exists because the per-pair Python formatter is the one remaining
+ * serial host loop at the 317k-ref GTDB scale (2.5M+ lines per full
+ * print); this writes at C printf speed.
+ *
+ * names_blob/name_off: NUL-terminated ref names at byte offsets.
+ * rid_sel: optional top-N row selection (in print order); NULL = all.
+ * Returns lines written, or (size_t)-1 if the file cannot be opened.
+ */
+#include <stdio.h>
+#include <math.h>
+
+static inline double kssd_get_metric_arg(int metric, double m)
+{
+    return metric == 0 ? 1 / (2 * m) + 0.5 : 1 / m;
+}
+
+size_t kssd_dist_row(
+    const char *path, const char *qname,
+    const uint8_t *names_blob, const int64_t *name_off,
+    const uint32_t *ref_sizes, const uint32_t *counts,
+    int64_t n_ref, const int64_t *rid_sel, int64_t n_sel,
+    uint32_t y_size, int kmerlen, int dim_rd_len, double cmprsn_num,
+    int metric, int pfield, int correction, double dthreshold)
+{
+    FILE *fp = fopen(path, "ab");
+    if (!fp)
+        return (size_t)-1;
+    char buf[1 << 20];
+    setvbuf(fp, buf, _IOFBF, sizeof buf);
+    size_t written = 0;
+    int64_t n_iter = rid_sel ? n_sel : n_ref;
+    for (int64_t ii = 0; ii < n_iter; ii++) {
+        int64_t r = rid_sel ? rid_sel[ii] : ii;
+        uint32_t x_size = ref_sizes[r];
+        uint32_t xny = counts[r];
+        double rs = 0;
+        if (correction) {
+            unsigned int x_only = x_size - xny;
+            unsigned int y_only = y_size - xny;
+            double p_base = 1 - 1 / pow(4.0, (kmerlen - dim_rd_len));
+            double p_x = 1 - pow(p_base, x_only);
+            double p_y = 1 - pow(p_base, y_only);
+            rs = p_x * p_y * (x_only + y_only)
+                 / (p_x + p_y - 2 * p_x * p_y);
+        }
+        unsigned int tmp = metric == 0 ? x_size + y_size - xny
+                           : (x_size < y_size ? x_size : y_size);
+        double m = ((double)xny - rs) / tmp;
+        double dist = log(kssd_get_metric_arg(metric, m)) / kmerlen;
+        if (dist > 1)
+            dist = 1;
+        if (dist > dthreshold)
+            continue;
+        /* (unsigned int)rs via int64 truncation: the reference's plain
+         * -O3 build lowers the cast through cvttsd2si (nan -> INT64_MIN
+         * -> low32 0); -march=native here would otherwise pick AVX-512's
+         * vcvttsd2usi (nan -> 0xFFFFFFFF) and diverge byte-wise. */
+        fprintf(fp, "%s\t%s\t%u-%u|%u|%u\t%.6lf\t%.6lf",
+                qname, (const char *)names_blob + name_off[r],
+                xny, (unsigned int)(int64_t)rs, x_size, y_size, m, dist);
+        if (pfield > 0) {
+            double sd = pow(m * (1 - m) / tmp, 0.5);
+            double pv = 0.5 * erfc(m / sd * pow(0.5, 0.5));
+            fprintf(fp, "\t%E\t%E", pv, pv * cmprsn_num);
+            if (pfield > 1) {
+                double c1 = m - 1.96 * sd;
+                double c2 = m + 1.96 * sd;
+                double d1 = log(kssd_get_metric_arg(metric, c2)) / kmerlen;
+                double d2 = log(kssd_get_metric_arg(metric, c1)) / kmerlen;
+                fprintf(fp, "\t[%.6lf,%.6lf]\t[%.6lf,%.6lf]",
+                        c1, c2, d1, d2);
+            }
+        }
+        fputc('\n', fp);
+        written++;
+    }
+    fclose(fp);
+    return written;
+}

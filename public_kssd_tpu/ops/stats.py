@@ -80,7 +80,9 @@ def correction_rs(x_only: float, y_only: float, kmerlen: int, dim_rd_len: int) -
     p_x = 1.0 - math.pow(p_base, x_only)
     p_y = 1.0 - math.pow(p_base, y_only)
     denom = p_x + p_y - 2.0 * p_x * p_y
-    return p_x * p_y * (x_only + y_only) / denom
+    # self-pair (x_only = y_only = 0): 0/0 -> -nan like the reference's
+    # SSE division, NOT a ZeroDivisionError
+    return _c_div(p_x * p_y * (x_only + y_only), denom)
 
 
 def format_pair_line(
@@ -164,10 +166,51 @@ def write_distance_out(
     dim_rd_len: int,
     opts: OutputOptions,
 ) -> None:
-    """Emit distance.out (dist_print_nobin, command_dist.c:1161-1250)."""
+    """Emit distance.out (dist_print_nobin, command_dist.c:1161-1250).
+
+    The per-line formatting runs through the NATIVE writer
+    (kssd_dist_row) when available — same libm/printf as the reference
+    build, so it is reference-exact by construction AND removes the one
+    serial Python loop left at GTDB scale (2.5M+ lines per full print).
+    Python fallback (and KSSD_TPU_NATIVE_PRINT=off) keeps identical
+    output; tests compare the two writers line for line.
+    """
+    import os as _os
+
     n_qry, n_ref = counts.shape
     cmprsn_num = n_ref * n_qry
     full = opts.fields == Fields.FULL
+    if not full and _os.environ.get("KSSD_TPU_NATIVE_PRINT", "auto") != "off":
+        from public_kssd_tpu import native
+
+        if native.get_lib() is not None:
+            with open(path, "w") as f:
+                f.write(format_header(opts))
+            blob = np.frombuffer(
+                b"".join(n.encode() + b"\0" for n in ref_names), np.uint8
+            )
+            offs = np.zeros(n_ref, np.int64)
+            np.cumsum(
+                [len(n.encode()) + 1 for n in ref_names[:-1]], out=offs[1:]
+            )
+            ref_sz = np.ascontiguousarray(ref_sizes, np.uint32)
+            for q in range(n_qry):
+                y = int(qry_sizes[q])
+                sel = None
+                if opts.top_n:
+                    sel = np.asarray(
+                        _top_n_rids(counts[q], ref_sizes, y, opts), np.int64
+                    )
+                n = native.dist_row(
+                    path, qry_names[q], blob, offs, ref_sz,
+                    np.ascontiguousarray(counts[q], np.uint32),
+                    y, kmerlen, dim_rd_len, float(cmprsn_num),
+                    int(opts.metric), int(opts.fields),
+                    int(opts.correction), float(opts.max_dist), sel,
+                )
+                if n is None:
+                    raise OSError(f"native dist writer failed on {path}")
+            return
     with open(path, "w") as f:
         f.write(FULL_HEADER if full else format_header(opts))
         for q in range(n_qry):

@@ -100,3 +100,57 @@ def test_dedup_u32_matches_python():
             n = (n + h2) % hashsize
     b = table[table != 0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_native_dist_writer_matches_python(tmp_path, monkeypatch):
+    """The C distance.out writer must be byte-identical to the Python
+    formatter across the -M/-O/-N/-D/--correction grid, including the
+    degenerate corners (self-pair x=y=xny -> -nan columns, xny=0)."""
+    import itertools
+
+    from public_kssd_tpu import native
+    from public_kssd_tpu.ops import stats as stats_ops
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    n_qry, n_ref = 4, 32
+    ref_sizes = rng.integers(2, 2000, n_ref).astype(np.uint32)
+    qry_sizes = rng.integers(2, 2000, n_qry).astype(np.uint32)
+    counts = np.minimum(
+        rng.integers(0, 1500, (n_qry, n_ref)),
+        np.minimum(ref_sizes[None, :], qry_sizes[:, None]) - 1,
+    ).astype(np.uint32)
+    # degenerate corners
+    ref_sizes[0] = qry_sizes[0] = counts[0, 0] = 1277  # self-pair
+    counts[0, 1] = 0  # no sharing
+    ref_sizes[2] = 1
+    counts[:, 2] = np.minimum(counts[:, 2], 1)  # tiny ref
+    rnames = [f"ref_{i}" for i in range(n_ref)]
+    qnames = [f"qry_{i}" for i in range(n_qry)]
+
+    grid = itertools.product(
+        (stats_ops.Metric.JACCARD, stats_ops.Metric.CONTAINMENT),
+        (stats_ops.Fields.DIST, stats_ops.Fields.QV, stats_ops.Fields.CI),
+        (False, True), (1.0, 0.05), (0, 5),
+    )
+    for metric, fields, corr, maxd, topn in grid:
+        opts = stats_ops.OutputOptions(
+            metric=metric, fields=fields, correction=corr,
+            max_dist=maxd, top_n=topn,
+        )
+        a = str(tmp_path / "native.out")
+        b = str(tmp_path / "python.out")
+        monkeypatch.setenv("KSSD_TPU_NATIVE_PRINT", "auto")
+        stats_ops.write_distance_out(
+            a, counts, ref_sizes, qry_sizes, rnames, qnames, 16, 4, opts)
+        monkeypatch.setenv("KSSD_TPU_NATIVE_PRINT", "off")
+        stats_ops.write_distance_out(
+            b, counts, ref_sizes, qry_sizes, rnames, qnames, 16, 4, opts)
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            ca, cb = fa.read(), fb.read()
+        assert ca == cb, (
+            f"native != python for metric={metric} fields={fields} "
+            f"corr={corr} maxd={maxd} topn={topn}"
+        )
+        assert ca.count(b"\n") > 1
