@@ -142,3 +142,26 @@ def test_mesh_query_batching_equals_unbatched(db7, batch):
     )
     assert got is out
     np.testing.assert_array_equal(out, oracle)
+
+
+def test_cli_mesh_search_matches_plain(db7, tmp_path):
+    """dist --mesh DPxREF through the CLI == plain search output."""
+    from public_kssd_tpu import cli, index as index_mod
+
+    root, params, comps, oracle = db7
+    old = os.getcwd()
+    os.chdir(root)
+    try:
+        if not os.path.isfile(os.path.join("my_ref", formats.MCO_DSTAT)):
+            index_mod.run_stage2("my_ref", "my_ref", 7, dense=False)
+        rc = cli.main(["dist", "-r", "my_ref", "-o", str(tmp_path / "plain"),
+                       "my_qry"])
+        assert rc == 0
+        rc = cli.main(["dist", "-r", "my_ref", "-o", str(tmp_path / "mesh"),
+                       "--mesh", "2x4", "-m", "1", "my_qry"])
+        assert rc == 0
+        with open(tmp_path / "plain" / "distance.out") as a, \
+             open(tmp_path / "mesh" / "distance.out") as b:
+            assert a.read() == b.read()
+    finally:
+        os.chdir(old)
