@@ -157,11 +157,18 @@ def _device_fns():
     return _DEVICE_FNS
 
 
+# DB codes per join dispatch: bounds the kernel's elementwise int64
+# transients (~40 B/code) to ~2.7 GB so GTDB-scale joins fit a 16 GB
+# chip alongside the resident ref arrays (observed: an unchunked 412M-
+# code join crashes the TPU worker)
+JOIN_CHUNK = 1 << 26
+
+
 def _query_stats_device(dev_comps, qn: int, n_ref: int, cap_state: dict):
     """Per-ref aggregates of query ``qn`` against all components, computed
     on the device (compacted join + one small sort + segment reductions).
-    ``cap_state`` remembers the observed hit count per component so
-    steady-state queries dispatch once."""
+    ``cap_state`` remembers the observed hit count per (component, chunk)
+    so steady-state queries dispatch once per chunk."""
     import jax
     import jax.numpy as jnp
 
@@ -181,18 +188,25 @@ def _query_stats_device(dev_comps, qn: int, n_ref: int, cap_state: dict):
         sa_pad = np.zeros(L, np.uint32)
         sa_pad[: sa.size] = sa
         sq_d, sa_d = jnp.asarray(sq_pad), jnp.asarray(sa_pad)
-        cap = cap_state.get(ci, 1 << max(int(max(sq.size * 2 - 1, 1)).bit_length(), 12))
-        while True:
-            buf = join(
-                ref_dev, rid_dev, sq_d, sa_d, jnp.int64(sq.size),
-                n_ref=n_ref, cap=cap,
+        R = ref_dev.shape[0]
+        for c0 in range(0, max(R, 1), JOIN_CHUNK):
+            rc = ref_dev[c0 : c0 + JOIN_CHUNK]
+            rr = rid_dev[c0 : c0 + JOIN_CHUNK]
+            ck = (ci, c0)
+            cap = cap_state.get(
+                ck, 1 << max(int(max(sq.size * 2 - 1, 1)).bit_length(), 12)
             )
-            total = int(buf[-1])
-            if total <= cap:
-                break
-            cap = 1 << int(max(total - 1, 1)).bit_length()
-        cap_state[ci] = max(cap_state.get(ci, 0), cap)
-        keys.append(buf[:-1])
+            while True:
+                buf = join(
+                    rc, rr, sq_d, sa_d, jnp.int64(sq.size),
+                    n_ref=n_ref, cap=cap,
+                )
+                total = int(buf[-1])
+                if total <= cap:
+                    break
+                cap = 1 << int(max(total - 1, 1)).bit_length()
+            cap_state[ck] = max(cap_state.get(ck, 0), cap)
+            keys.append(buf[:-1])
     key = keys[0] if len(keys) == 1 else jnp.concatenate(keys)
     out = segment_stats(key, n_ref=n_ref)
     return tuple(np.asarray(a) for a in jax.device_get(out))
