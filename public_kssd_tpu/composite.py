@@ -280,10 +280,26 @@ def species_abundance(
     if device:
         import jax.numpy as jnp
 
-        dev_comps = [
-            (jnp.asarray(rc), jnp.asarray(ro.astype(np.int32)), qc, qi, qa)
-            for rc, ro, qc, qi, qa in comps
-        ]
+        def pad_chunk(rc, ro):
+            # pad to a JOIN_CHUNK multiple so every join dispatch shares
+            # ONE compiled shape (fresh TPU compiles cost minutes on a
+            # 2-core host); pad rid = n_ref lands in the stats kernel's
+            # drop bucket, so even a pad-code collision is harmless
+            if rc.size <= JOIN_CHUNK or rc.size % JOIN_CHUNK == 0:
+                return rc, ro.astype(np.int32)  # small DB: natural shape
+            pad_to = -(-rc.size // JOIN_CHUNK) * JOIN_CHUNK
+            rc2 = np.full(pad_to, np.uint32(0xFFFFFFFF))
+            rc2[: rc.size] = rc
+            ro2 = np.full(pad_to, n_ref, np.int32)
+            ro2[: ro.size] = ro
+            return rc2, ro2
+
+        dev_comps = []
+        for rc, ro, qc, qi, qa in comps:
+            rc2, ro2 = pad_chunk(rc, ro)
+            dev_comps.append(
+                (jnp.asarray(rc2), jnp.asarray(ro2), qc, qi, qa)
+            )
         cap_state: dict = {}
     lines: list[str] = []
     for qn in range(qry_stat.infile_num):
