@@ -150,6 +150,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host-search", action="store_true",
                    help="force the reference-parity sparse host walk for "
                    "-s even at scale")
+    p.add_argument("--mesh", default="", metavar="N",
+                   help="shard the -q join's reference DB over N devices "
+                   "(1-D ref mesh; parallel/sharded_composite.py)")
     p.add_argument("remaining", nargs="*")
 
     args = parser.parse_args(argv)

@@ -304,50 +304,65 @@ def species_abundance(
     lines: list[str] = []
     for qn in range(qry_stat.infile_num):
         if device:
-            counts, sums, median, maxv, lastsum, lastn = _query_stats_device(
-                dev_comps, qn, n_ref, cap_state
-            )
+            stats6 = _query_stats_device(dev_comps, qn, n_ref, cap_state)
         else:
-            counts, sums, median, maxv, lastsum, lastn = _query_stats_host(
-                comps, qn, n_ref
-            )
-        # descending by matched count; ties keep smaller ref id first
-        # (the reference's qsort is unstable on ties — avoid ties in tests)
-        order = np.argsort(-counts, kind="stable")
-        binvec_rows: list[tuple[int, np.float32]] = []
-        binvec_sum = np.float32(0)
-        for rn in order:
-            kmer_num = int(counts[rn])
-            if kmer_num < MIN_KM_S:
-                break
-            pctl_mean = np.float32(lastsum[rn]) / np.float32(lastn[rn])
-            if binvec:
-                if int(median[rn]) > 1 and kmer_num > MIN_KM_S + 1:
-                    binvec_rows.append((int(rn), pctl_mean))
-                    binvec_sum += pctl_mean
-            else:
-                mean = np.float32(sums[rn]) / np.float32(kmer_num)
-                lines.append(
-                    f"{qry_stat.names[qn]}\t{ref_stat.names[rn]}\t{kmer_num}\t"
-                    f"{float(mean):.6f}\t{float(pctl_mean):.6f}\t"
-                    f"{int(median[rn])}\t{int(maxv[rn])}\n"
-                )
-        if binvec:
-            out = out_dir or os.path.join(ref_dir, BINVEC_DIRNAME)
-            os.makedirs(out, exist_ok=True)
-            num_pass = len(binvec_rows)
-            denom = binvec_sum - np.float32(num_pass)
-            idxs = np.array([r for r, _ in binvec_rows], dtype=np.int32)
-            pcts = np.array(
-                [
-                    (p - np.float32(1)) * np.float32(100) / denom
-                    for _, p in binvec_rows
-                ],
-                dtype=np.float32,
-            )
-            fname = os.path.basename(qry_stat.names[qn]) + ".abv"
-            formats.write_abv(os.path.join(out, fname), idxs, pcts)
+            stats6 = _query_stats_host(comps, qn, n_ref)
+        append_query_report(
+            lines, stats6, qn, ref_stat, qry_stat, binvec,
+            out_dir or os.path.join(ref_dir, BINVEC_DIRNAME),
+        )
     return "".join(lines)
+
+
+def append_query_report(
+    lines: list[str],
+    stats6: tuple,
+    qn: int,
+    ref_stat,
+    qry_stat,
+    binvec: bool,
+    binvec_out: str,
+) -> None:
+    """Turn one query's per-ref integer aggregates into report lines (or
+    a .abv file with ``binvec``) — the shared tail of every backend
+    (host / single-device / mesh-sharded), so the text is identical by
+    construction (report math of command_composite.c:494-537)."""
+    counts, sums, median, maxv, lastsum, lastn = stats6
+    # descending by matched count; ties keep smaller ref id first
+    # (the reference's qsort is unstable on ties — avoid ties in tests)
+    order = np.argsort(-counts, kind="stable")
+    binvec_rows: list[tuple[int, np.float32]] = []
+    binvec_sum = np.float32(0)
+    for rn in order:
+        kmer_num = int(counts[rn])
+        if kmer_num < MIN_KM_S:
+            break
+        pctl_mean = np.float32(lastsum[rn]) / np.float32(lastn[rn])
+        if binvec:
+            if int(median[rn]) > 1 and kmer_num > MIN_KM_S + 1:
+                binvec_rows.append((int(rn), pctl_mean))
+                binvec_sum += pctl_mean
+        else:
+            mean = np.float32(sums[rn]) / np.float32(kmer_num)
+            lines.append(
+                f"{qry_stat.names[qn]}\t{ref_stat.names[rn]}\t{kmer_num}\t"
+                f"{float(mean):.6f}\t{float(pctl_mean):.6f}\t"
+                f"{int(median[rn])}\t{int(maxv[rn])}\n"
+            )
+    if binvec:
+        os.makedirs(binvec_out, exist_ok=True)
+        num_pass = len(binvec_rows)
+        denom = binvec_sum - np.float32(num_pass)
+        idxs = np.array([r for r, _ in binvec_rows], dtype=np.int32)
+        pcts = np.array(
+            [
+                (p - np.float32(1)) * np.float32(100) / denom
+                for _, p in binvec_rows
+            ],
+            dtype=np.float32,
+        )
+        fname = os.path.basename(qry_stat.names[qn]) + ".abv"
+        formats.write_abv(os.path.join(binvec_out, fname), idxs, pcts)
 
 
 def index_abv(ref_dir: str) -> None:
@@ -537,13 +552,29 @@ def read_abv_text(paths: list[str]) -> str:
 def cmd_composite(args) -> int:
     if args.refdir:
         if args.qrydir:
-            report = species_abundance(
-                args.refdir,
-                args.qrydir,
-                out_dir=args.outdir if len(args.outdir) >= 3 else None,
-                binvec=args.binvec,
-                device=True if getattr(args, "device_search", False) else None,
-            )
+            out_dir = args.outdir if len(args.outdir) >= 3 else None
+            if getattr(args, "mesh", ""):
+                import jax
+                from jax.sharding import Mesh
+
+                from public_kssd_tpu.parallel import sharded_composite
+
+                n = int(args.mesh)
+                mesh = Mesh(np.array(jax.devices()[:n]), ("ref",))
+                report = sharded_composite.species_abundance_sharded(
+                    args.refdir, args.qrydir, mesh,
+                    out_dir=out_dir, binvec=args.binvec,
+                )
+            else:
+                report = species_abundance(
+                    args.refdir,
+                    args.qrydir,
+                    out_dir=out_dir,
+                    binvec=args.binvec,
+                    device=(
+                        True if getattr(args, "device_search", False) else None
+                    ),
+                )
             print(report, end="")
             return 0
         if args.idxbv:

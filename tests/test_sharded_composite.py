@@ -1,0 +1,81 @@
+"""Mesh-sharded composite (parallel/sharded_composite.py): the report
+must be byte-identical to the host path for every mesh width, the
+per-shard overflow retry must engage under planted hit skew, and the
+CLI --mesh flag must route through it."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from public_kssd_tpu import composite, formats
+from public_kssd_tpu.parallel import sharded_composite
+
+from test_composite_scale import _mk_db
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_equals_host(tmp_path, n_dev):
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=40, sk=64, n_qry=3, seed=3)
+    want = composite.species_abundance(ref_dir, qry_dir, device=False)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("ref",))
+    got = sharded_composite.species_abundance_sharded(ref_dir, qry_dir, mesh)
+    assert want  # the fixture plants real overlaps
+    assert got == want
+
+
+def test_overflow_retry_engages(tmp_path):
+    """A DB whose codes massively duplicate one query code overflows the
+    initial per-shard capacity; the retry must still yield exact stats."""
+    rng = np.random.default_rng(9)
+    ref_dir = str(tmp_path / "ref")
+    qry_dir = str(tmp_path / "qry")
+    os.makedirs(ref_dir)
+    os.makedirs(qry_dir)
+    n_ref, sk = 50, 200
+    # every ref genome's sketch is mostly the SAME few codes -> each
+    # matching query code expands to ~n_ref*sk hits in one shard
+    hot = np.arange(100, 108, dtype=np.uint32)
+    ref = np.tile(hot, (n_ref, sk // hot.size))
+    ridx = np.arange(n_ref + 1, dtype=np.uint64) * sk
+    formats.write_combco(ref_dir, 0, ref.ravel().astype(np.uint32), ridx)
+    formats.write_co_stat(ref_dir, formats.CoStat(
+        params_id=5, koc=False, kmerlen=16, dim_rd_len=4, comp_num=1,
+        infile_num=n_ref, all_ctx_ct=int(ref.size),
+        ctx_ct=np.full(n_ref, sk, np.uint32),
+        names=[f"r{i}" for i in range(n_ref)]))
+    qsk = 16
+    qry = np.unique(
+        np.concatenate([hot, rng.integers(1000, 1 << 20, qsk, dtype=np.uint32)])
+    )[:qsk].astype(np.uint32)
+    qidx = np.array([0, qry.size], dtype=np.uint64)
+    ab = rng.integers(1, 40, size=qry.size).astype(np.uint16)
+    formats.write_combco(qry_dir, 0, qry, qidx, ab)
+    formats.write_co_stat(qry_dir, formats.CoStat(
+        params_id=5, koc=True, kmerlen=16, dim_rd_len=4, comp_num=1,
+        infile_num=1, all_ctx_ct=int(qry.size),
+        ctx_ct=np.array([qry.size], np.uint32), names=["q0"]))
+
+    want = composite.species_abundance(ref_dir, qry_dir, device=False)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ref",))
+    got = sharded_composite.species_abundance_sharded(ref_dir, qry_dir, mesh)
+    assert want
+    assert got == want
+    # the planted hit mass really exceeds the initial capacity guess
+    assert n_ref * sk > 1 << max(int(qsk * 2 // 4).bit_length(), 10)
+
+
+def test_cli_mesh_composite_matches_plain(tmp_path, capsys):
+    from public_kssd_tpu import cli
+
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=30, sk=48, n_qry=2, seed=5)
+    assert cli.main(["composite", "-r", ref_dir, "-q", qry_dir]) == 0
+    plain = capsys.readouterr().out
+    assert cli.main(
+        ["composite", "-r", ref_dir, "-q", qry_dir, "--mesh", "4"]
+    ) == 0
+    meshed = capsys.readouterr().out
+    assert plain
+    assert meshed == plain
