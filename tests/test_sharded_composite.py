@@ -67,6 +67,49 @@ def test_overflow_retry_engages(tmp_path):
     assert n_ref * sk > 1 << max(int(qsk * 2 // 4).bit_length(), 10)
 
 
+def test_sharded_multi_component(tmp_path):
+    """comp_num > 1: the uint64 component fold must keep per-component
+    joins separate (a code value shared across components is distinct)."""
+    rng = np.random.default_rng(17)
+    ref_dir = str(tmp_path / "ref")
+    qry_dir = str(tmp_path / "qry")
+    os.makedirs(ref_dir)
+    os.makedirs(qry_dir)
+    n_ref, sk = 20, 40  # per component
+    refs = []
+    for c in range(2):
+        ref = rng.integers(0, 1 << 16, size=(n_ref, sk), dtype=np.uint32)
+        refs.append(np.sort(ref, axis=1))
+        formats.write_combco(
+            ref_dir, c, refs[-1].ravel(),
+            np.arange(n_ref + 1, dtype=np.uint64) * sk,
+        )
+    formats.write_co_stat(ref_dir, formats.CoStat(
+        params_id=5, koc=False, kmerlen=16, dim_rd_len=4, comp_num=2,
+        infile_num=n_ref, all_ctx_ct=2 * n_ref * sk,
+        ctx_ct=np.full(n_ref, 2 * sk, np.uint32),
+        names=[f"r{i}" for i in range(n_ref)]))
+    for c in range(2):
+        # half the query codes come from component c's refs, half from
+        # the OTHER component's value range (must NOT join across comps)
+        pool = np.unique(refs[c][:6].ravel())
+        other = np.unique(refs[1 - c][:6].ravel())
+        q = np.unique(np.concatenate([pool[:60], other[:60]]))
+        ab = rng.integers(1, 30, size=q.size).astype(np.uint16)
+        formats.write_combco(
+            qry_dir, c, q, np.array([0, q.size], np.uint64), ab,
+        )
+    formats.write_co_stat(qry_dir, formats.CoStat(
+        params_id=5, koc=True, kmerlen=16, dim_rd_len=4, comp_num=2,
+        infile_num=1, all_ctx_ct=0,
+        ctx_ct=np.array([1], np.uint32), names=["q0"]))
+    want = composite.species_abundance(ref_dir, qry_dir, device=False)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ref",))
+    got = sharded_composite.species_abundance_sharded(ref_dir, qry_dir, mesh)
+    assert want
+    assert got == want
+
+
 def test_cli_mesh_composite_matches_plain(tmp_path, capsys):
     from public_kssd_tpu import cli
 
