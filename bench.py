@@ -479,6 +479,47 @@ def bench_sketch_breakdown(paths, params, shuffled_dev) -> None:
     jnp.asarray(buf).block_until_ready()
     up_bw = buf.nbytes / (time.perf_counter() - t0) / 1e6
 
+    # raw pallas kernel throughput (device-resident input): the VPU
+    # speed-of-light number for the window kernel itself. Measured as
+    # the SLOPE between a K=2 and a K=10 dependency chain of kernel
+    # applications inside one jit — a single dispatch through the
+    # device tunnel is pure round-trip latency (~26 ms), and
+    # block_until_ready does not sync through it (host-fetch does)
+    kernel_gbps = None
+    if jax.default_backend() != "cpu":
+        from public_kssd_tpu.ops import pallas_sketch
+
+        nb = 1 << 23
+        symd = jnp.asarray(
+            np.random.default_rng(1).integers(0, 4, size=nb).astype(np.uint8)
+        )
+
+        def chain_fn(K):
+            def chain(x):
+                tot = jnp.uint32(0)
+                for _ in range(K):
+                    out = pallas_sketch.sketch_windows_pallas.__wrapped__(
+                        x, params, shuffled_dev.seed
+                    )
+                    tot = tot + out[0] + out[nb // 2]
+                    x = (x + (out[0] % 2).astype(jnp.uint8)) & jnp.uint8(3)
+                return tot
+
+            return jax.jit(chain)
+
+        walls = {}
+        for K in (2, 10):
+            f = chain_fn(K)
+            float(f(symd))  # compile + warm
+            best = math.inf
+            for _ in range(4):
+                t0 = time.perf_counter()
+                float(f(symd))  # host fetch = real sync
+                best = min(best, time.perf_counter() - t0)
+            walls[K] = best
+        per_call = max((walls[10] - walls[2]) / 8, 1e-9)
+        kernel_gbps = round(nb / per_call / 1e9, 2)
+
     parse_opts = pipeline.SketchOptions()
     t0 = time.perf_counter()
     syms = [s for _, _, s in pipeline.parsed_streams(paths, parse_opts)]
@@ -508,6 +549,7 @@ def bench_sketch_breakdown(paths, params, shuffled_dev) -> None:
         "tunnel_upload_MBps": round(up_bw, 1),
         "packed_upload_mb": round(packed_mb, 1),
         "tunnel_floor_s": round(packed_mb / up_bw * 1e0, 2),
+        "pallas_kernel_gbases_per_s": kernel_gbps,
     })
 
 
@@ -564,23 +606,26 @@ def main() -> None:
 
     # the sketch numbers are measured FIRST — a later heavy section that
     # crashes the TPU worker (observed once at GTDB scale) must not cost
-    # the headline — but the headline line PRINTS last (driver contract).
+    # the headline. Every line EMITS as soon as it is measured (a driver
+    # timeout mid-run must not lose finished sections), and the headline
+    # is re-emitted at the very end (driver contract: LAST line wins).
     paths = _make_data()
     timed = paths[2 : 2 + N_TIMED]
-    held: list[dict] = []
+    headline: list[dict] = []
 
     def measure_headline():
         v = _sketch_run(timed, params, shuffled_dev, False)
-        held.append({
+        headline.append({
             "metric": "genomes_sketched_per_s_per_chip",
             "value": round(v, 3),
             "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3)",
             "vs_baseline": round(v / BASELINE_GENOMES_PER_S, 3),
         })
+        _emit(headline[0])
 
     def measure_default():
         v = _sketch_run(timed, params, shuffled_dev, True)
-        held.insert(0, {
+        _emit({
             "metric": "genomes_sketched_per_s_per_chip_default_compat",
             "value": round(v, 3),
             "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3, DEFAULT "
@@ -602,7 +647,7 @@ def main() -> None:
     _guard("gtdb317k", bench_gtdb)
     _guard("scaling_proxies", bench_scaling)
 
-    for obj in held:  # default-path first, HEADLINE last
+    for obj in headline:  # re-emit: the HEADLINE must be the last line
         _emit(obj)
 
 

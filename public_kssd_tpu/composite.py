@@ -110,51 +110,118 @@ def _join_key_device(ref_codes, rid_of, sq, sa, q_len, *, n_ref: int,
     return buf.at[cap].set(total)  # last slot = true hit total
 
 
-def _segment_stats_device_impl(key, *, n_ref: int):
-    """Device per-ref aggregates from compacted join keys: ONE sort
-    groups hits by (ref, abundance); counts/sums are scatter-adds;
-    median/max/percentile-window sums are prefix-sum gathers.
-    Integer-exact vs the numpy twin (_segment_stats_np)."""
+def _batched_join_impl(
+    ref_codes, rid_of, sq, sqid, sab, *,
+    n_qry: int, n_ref: int, qid_shift: int, cap: int,
+):
+    """ONE DB pass for the WHOLE query batch: for every DB code, all
+    matching (query, abundance) entries of the combined sorted query
+    table expand into a capacity-bounded dense buffer of int64 hit keys
+    ``qid << qid_shift | rid << 16 | abundance`` (pads = n_qry<<shift);
+    last slot = true hit total for the host's overflow retry.
+
+    This is the same ragged-expansion machinery as ops/count
+    (searchsorted -> cumsum -> bounded expansion); vs the per-query join
+    (_join_key_device) it does O(|DB|) work ONCE instead of once per
+    query — the difference between minutes and seconds for a GTDB-scale
+    DB against a batch of samples (reference loop:
+    command_composite.c:420-481, queries outer, refs inner).
+    """
     import jax.numpy as jnp
 
-    skey = jnp.sort(key)
-    rid = (skey >> 32).astype(jnp.int32)  # == n_ref for misses
-    vals = jnp.where(rid < n_ref, skey & jnp.int64(0xFFFFFFFF), 0)
-    R = key.shape[0]
-    ones = jnp.ones(R, jnp.int64)
-    counts = jnp.zeros(n_ref + 1, jnp.int64).at[rid].add(ones)[:n_ref]
-    sums = jnp.zeros(n_ref + 1, jnp.int64).at[rid].add(vals)[:n_ref]
-    seg_end = jnp.cumsum(counts)
-    seg_start = seg_end - counts
-    ex = jnp.concatenate(
-        [jnp.zeros(1, jnp.int64), jnp.cumsum(vals)]
+    Q = sq.shape[0]
+    pos_l = jnp.searchsorted(sq, ref_codes, side="left")
+    pos_r = jnp.searchsorted(sq, ref_codes, side="right")
+    # int32 cumsum: bounded by the per-chunk code count times query
+    # duplication; the true total is range-checked by the retry contract.
+    # ref pad rows (rid == n_ref) must not expand: their pad code
+    # 0xFFFFFFFF would match the query table's pad run wholesale
+    length = jnp.where(
+        rid_of < n_ref, (pos_r - pos_l).astype(jnp.int32), 0
     )
-    med_idx = jnp.clip(seg_start + jnp.maximum(counts // 2 - 1, 0), 0, R - 1)
-    median = jnp.where(counts >= 2, vals[med_idx], 0)
-    maxv = jnp.where(counts >= 1, vals[jnp.clip(seg_end - 1, 0, R - 1)], 0)
-    kf = counts.astype(jnp.float64)
-    st = (kf * ST_PCTL).astype(jnp.int64)  # truncation, like the C cast
-    hi = jnp.minimum((kf * ED_PCTL).astype(jnp.int64), counts)
-    lastn = hi - st + 1
-    lastsum = ex[seg_start + hi] - ex[seg_start + jnp.maximum(st, 1) - 1]
-    return counts, sums, median, maxv, lastsum, lastn
+    cum = jnp.cumsum(length)
+    total = cum[-1]
+    t = jnp.arange(cap, dtype=jnp.int32)
+    src = jnp.searchsorted(cum, t, side="right")
+    src_c = jnp.clip(src, 0, length.shape[0] - 1)
+    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+    idx = jnp.clip(pos_l[src_c] + (t - prev), 0, Q - 1)
+    qid = sqid[idx]
+    rid = rid_of[src_c]
+    ab = sab[idx]
+    # a pad entry on either side (query pad qid = n_qry, ref pad rid
+    # pointing at the drop bucket) folds into the n_qry pad key
+    valid = (t < total) & (qid < n_qry)
+    key = (
+        (qid.astype(jnp.int64) << qid_shift)
+        | (rid.astype(jnp.int64) << 16)
+        | ab.astype(jnp.int64)
+    )
+    key = jnp.where(valid, key, jnp.int64(n_qry) << qid_shift)
+    return jnp.concatenate([key, total.astype(jnp.int64)[None]])
 
 
-_DEVICE_FNS: tuple | None = None
+_BATCH_JOIN = None
 
 
-def _device_fns():
-    """Lazy jitted (join, segment-stats) pair — jax imports deferred so
-    host-only composite use never initialises a backend."""
-    global _DEVICE_FNS
-    if _DEVICE_FNS is None:
+def _batched_join_fn():
+    global _BATCH_JOIN
+    if _BATCH_JOIN is None:
         import jax
 
-        _DEVICE_FNS = (
-            jax.jit(_join_key_device, static_argnames=("n_ref", "cap")),
-            jax.jit(_segment_stats_device_impl, static_argnames=("n_ref",)),
+        _BATCH_JOIN = jax.jit(
+            _batched_join_impl,
+            static_argnames=("n_qry", "n_ref", "qid_shift", "cap"),
         )
-    return _DEVICE_FNS
+    return _BATCH_JOIN
+
+
+def _batched_stats_device(dev_comps, n_qry: int, n_ref: int,
+                          cap_state: dict) -> list[tuple]:
+    """Per-query stats6 for ALL queries: one chunked DB pass total.
+    ``dev_comps`` rows are (ref_dev, rid_dev, sq_dev, sqid_dev, sab_dev)
+    with the query table pre-sorted and device-resident."""
+    import jax.numpy as jnp
+
+    join = _batched_join_fn()
+    qid_shift = 16 + max(int(n_ref).bit_length(), 1)
+    assert qid_shift + max(int(n_qry).bit_length(), 1) < 63
+    hit_parts: list[np.ndarray] = []
+    for ci, (ref_dev, rid_dev, sq_d, sqid_d, sab_d, n_q_codes) in enumerate(
+        dev_comps
+    ):
+        R = ref_dev.shape[0]
+        for c0 in range(0, max(R, 1), JOIN_CHUNK):
+            rc = ref_dev[c0 : c0 + JOIN_CHUNK]
+            rr = rid_dev[c0 : c0 + JOIN_CHUNK]
+            ck = (ci, c0)
+            cap = cap_state.get(
+                ck,
+                1 << max(int(max(n_q_codes * 2 - 1, 1)).bit_length(), 12),
+            )
+            while True:
+                buf = np.asarray(join(
+                    rc, rr, sq_d, sqid_d, sab_d,
+                    n_qry=n_qry, n_ref=n_ref, qid_shift=qid_shift, cap=cap,
+                ))
+                total = int(buf[-1])
+                if total <= cap:
+                    break
+                cap = 1 << int(max(total - 1, 1)).bit_length()
+            cap_state[ck] = max(cap_state.get(ck, 0), cap)
+            keys = buf[:-1]
+            hit_parts.append(keys[keys < (np.int64(n_qry) << qid_shift)])
+    hits = (
+        np.concatenate(hit_parts) if hit_parts else np.zeros(0, np.int64)
+    )
+    qids = hits >> qid_shift
+    rids = (hits >> 16) & ((np.int64(1) << (qid_shift - 16)) - 1)
+    abs_ = hits & np.int64(0xFFFF)
+    out = []
+    for qn in range(n_qry):
+        m = qids == qn
+        out.append(_segment_stats_np(rids[m], abs_[m], n_ref))
+    return out
 
 
 # DB codes per join dispatch: bounds the kernel's elementwise int64
@@ -164,56 +231,8 @@ def _device_fns():
 JOIN_CHUNK = 1 << 26
 
 
-def _query_stats_device(dev_comps, qn: int, n_ref: int, cap_state: dict):
-    """Per-ref aggregates of query ``qn`` against all components, computed
-    on the device (compacted join + one small sort + segment reductions).
-    ``cap_state`` remembers the observed hit count per (component, chunk)
-    so steady-state queries dispatch once per chunk."""
-    import jax
-    import jax.numpy as jnp
-
-    join, segment_stats = _device_fns()
-    keys = []
-    for ci, (ref_dev, rid_dev, qry_codes, qry_index, qry_abund) in enumerate(
-        dev_comps
-    ):
-        q_lo, q_hi = int(qry_index[qn]), int(qry_index[qn + 1])
-        qc = qry_codes[q_lo:q_hi]
-        qa = qry_abund[q_lo:q_hi]
-        order = np.argsort(qc, kind="stable")
-        sq, sa = qc[order], qa[order].astype(np.uint32)
-        L = 1 << max(int(max(sq.size - 1, 1)).bit_length(), 6)
-        sq_pad = np.full(L, np.uint32(0xFFFFFFFF))
-        sq_pad[: sq.size] = sq
-        sa_pad = np.zeros(L, np.uint32)
-        sa_pad[: sa.size] = sa
-        sq_d, sa_d = jnp.asarray(sq_pad), jnp.asarray(sa_pad)
-        R = ref_dev.shape[0]
-        for c0 in range(0, max(R, 1), JOIN_CHUNK):
-            rc = ref_dev[c0 : c0 + JOIN_CHUNK]
-            rr = rid_dev[c0 : c0 + JOIN_CHUNK]
-            ck = (ci, c0)
-            cap = cap_state.get(
-                ck, 1 << max(int(max(sq.size * 2 - 1, 1)).bit_length(), 12)
-            )
-            while True:
-                buf = join(
-                    rc, rr, sq_d, sa_d, jnp.int64(sq.size),
-                    n_ref=n_ref, cap=cap,
-                )
-                total = int(buf[-1])
-                if total <= cap:
-                    break
-                cap = 1 << int(max(total - 1, 1)).bit_length()
-            cap_state[ck] = max(cap_state.get(ck, 0), cap)
-            keys.append(buf[:-1])
-    key = keys[0] if len(keys) == 1 else jnp.concatenate(keys)
-    out = segment_stats(key, n_ref=n_ref)
-    return tuple(np.asarray(a) for a in jax.device_get(out))
-
-
 def _query_stats_host(comps, qn: int, n_ref: int):
-    """Host twin of _query_stats_device (the parity oracle)."""
+    """Host per-query join + stats (the parity oracle)."""
     rid_hits: list[np.ndarray] = []
     ab_hits: list[np.ndarray] = []
     for ref_codes, rid_of, qry_codes, qry_index, qry_abund in comps:
@@ -294,17 +313,34 @@ def species_abundance(
             ro2[: ro.size] = ro
             return rc2, ro2
 
+        n_qry = qry_stat.infile_num
         dev_comps = []
         for rc, ro, qc, qi, qa in comps:
             rc2, ro2 = pad_chunk(rc, ro)
-            dev_comps.append(
-                (jnp.asarray(rc2), jnp.asarray(ro2), qc, qi, qa)
-            )
-        cap_state: dict = {}
+            # combined query table: ALL queries' codes sorted together so
+            # one DB pass serves the whole batch (_batched_join_impl)
+            qid_of = np.searchsorted(
+                qi[1:], np.arange(qc.size, dtype=np.uint64), "right"
+            ).astype(np.int32)
+            order = np.argsort(qc, kind="stable")
+            sq, sqid = qc[order], qid_of[order]
+            sab = qa[order].astype(np.uint32)
+            L = 1 << max(int(max(sq.size - 1, 1)).bit_length(), 6)
+            sq_pad = np.full(L, np.uint32(0xFFFFFFFF))
+            sq_pad[: sq.size] = sq
+            sqid_pad = np.full(L, n_qry, np.int32)
+            sqid_pad[: sqid.size] = sqid
+            sab_pad = np.zeros(L, np.uint32)
+            sab_pad[: sab.size] = sab
+            dev_comps.append((
+                jnp.asarray(rc2), jnp.asarray(ro2), jnp.asarray(sq_pad),
+                jnp.asarray(sqid_pad), jnp.asarray(sab_pad), sq.size,
+            ))
+        stats_all = _batched_stats_device(dev_comps, n_qry, n_ref, {})
     lines: list[str] = []
     for qn in range(qry_stat.infile_num):
         if device:
-            stats6 = _query_stats_device(dev_comps, qn, n_ref, cap_state)
+            stats6 = stats_all[qn]
         else:
             stats6 = _query_stats_host(comps, qn, n_ref)
         append_query_report(

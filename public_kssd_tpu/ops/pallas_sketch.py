@@ -90,6 +90,24 @@ def _shift_right_128(hi, lo, sh: int):
     return _lsr(hi, sh - 32)
 
 
+def _shl_wide(x, sh: int):
+    """Left shift that defeats Mosaic's narrow-range lane packing.
+
+    Mosaic may evaluate a small-range operand (e.g. a freshly built
+    16-bit-range level value) in 16-bit lanes; a shift whose result
+    needs more bits then silently truncates (observed on a v5e with
+    ``(3 ^ bj) << 2j`` for 2j >= 16). ORing in the top bit forces a
+    full-32-bit range; for sh >= 1 that bit shifts out entirely
+    ((x | m) << s == (x << s) | (m << s) and 0x80000000 << s == 0 mod
+    2^32), so the value is unchanged.
+    """
+    if sh == 0:
+        return x
+    if sh >= 32:
+        return x ^ x
+    return (x | _u32(0x80000000)) << _u32(sh)
+
+
 def _ult(a, b):
     """Unsigned a < b on uint32 lanes, independent of whether the backend
     lowers the compare signed (Mosaic/TPU) or unsigned (interpreter):
@@ -103,20 +121,10 @@ def _ule(a, b):
     return ~_ult(b, a)
 
 
-def _sketch_kernel(
-    a_ref, b_ref, out_ref, *, params: SketchParams, seed: int, debug: str = ""
-):
-    """One (BLOCK_ROWS, LANES) tile: a_ref = this row-block, b_ref = the
-    row-block one row down (halo source). Emits one code per window
-    position, SENTINEL32 where filtered out."""
-    W = params.TL
-    H = W - 1  # halo width
-
-    a = a_ref[:].astype(jnp.uint32)
-    b = b_ref[:].astype(jnp.uint32)
-    # ext[:, j] for j in [0, LANES+H): symbol at window offset j
-    ext = jnp.concatenate([a, b[:, :H]], axis=1)
-
+def _accumulate_unrolled(ext, W: int):
+    """W-step linear accumulation: (fwd_hi, fwd_lo, rc_hi, rc_lo,
+    invalid), each (BLOCK_ROWS, LANES)."""
+    a = ext[:, :LANES]
     fwd_hi = jnp.zeros_like(a)
     fwd_lo = jnp.zeros_like(a)
     rc_hi = jnp.zeros_like(a)
@@ -139,6 +147,112 @@ def _sketch_kernel(
         symr = ext[:, W - 1 - j : W - 1 - j + LANES]
         rc_hi = (rc_hi << _u32(2)) | _lsr(rc_lo, 30)
         rc_lo = (rc_lo << _u32(2)) | (three ^ (symr & three))
+    return fwd_hi, fwd_lo, rc_hi, rc_lo, invalid
+
+
+def _rev2_32(x):
+    """Reverse the 16 2-bit groups of a uint32 lane value (the 32-bit
+    half of the reference's crvs64bits, global_basic.h:64-71). The final
+    half-swap is written as a rotate so every shifted operand has full
+    32-bit range (Mosaic narrow-range lane packing, see _accumulate_log).
+    """
+    m2, m4, m8 = _u32(0x33333333), _u32(0x0F0F0F0F), _u32(0x00FF00FF)
+    x = (_lsr(x, 2) & m2) | ((x & m2) << _u32(2))
+    x = (_lsr(x, 4) & m4) | ((x & m4) << _u32(4))
+    x = (_lsr(x, 8) & m8) | ((x & m8) << _u32(8))
+    return _lsr(x, 16) | (x << _u32(16))
+
+
+def _accumulate_log(ext, W: int):
+    """Log-depth accumulation: O(log W) doubling passes instead of W
+    linear steps (~3x fewer VPU ops at W=20).
+
+    Level arrays over the extended width E = LANES + W - 1:
+      f_l[p] = symbols [p, p+2^l) packed big-endian    (2*2^l bits)
+      i_l[p] = any BREAK in [p, p+2^l)
+    built by f_{l+1}[p] = (f_l[p] << 2*2^l) | f_l[p+2^l] (one lane-roll
+    per level); the W-window forward value is then the combine of
+    popcount(W) segments along W's binary decomposition — 2 segments for
+    the default W=20. Levels stay in single uint32 registers (2*2^l <= 32
+    for l <= 4, and W <= 30 caps the top level at 4); only the final
+    combine produces hi/lo pairs.
+
+    The reverse-complement value is NOT accumulated separately: it is
+    derived from fwd by 2-bit-group reversal + complement
+    (rc = crvs64(fwd) >> (64-2W), exactly the reference's crvs64bits
+    identity) — cheaper than a second level pyramid, and its operands
+    are always full-range. That matters: Mosaic packs provably-narrow
+    lane values into 16-bit (or narrower) lanes and a left shift whose
+    result outgrows them silently truncates; the first version of this
+    kernel accumulated rc little-endian from narrow level segments and
+    miscompiled exactly there (k=7, verified on a v5e — _shl_wide's
+    constant-OR widening trick does not survive the simplifier either).
+    Remaining left shifts apply only to full-range or >=24-bit-range
+    operands.
+    """
+    three = _u32(3)
+    max_l = W.bit_length() - 1  # floor(log2 W) <= 4 for W <= 30
+    fl = {0: ext & three}
+    il = {0: (ext >= np.uint32(BREAK)).astype(jnp.uint32)}
+    for l in range(max_l):
+        d = 1 << l
+        fl[l + 1] = _shl_wide(fl[l], 2 * d) | jnp.concatenate(
+            [fl[l][:, d:], fl[l][:, :d]], axis=1
+        )
+        il[l + 1] = il[l] | jnp.concatenate(
+            [il[l][:, d:], il[l][:, :d]], axis=1
+        )
+
+    segs = [l for l in range(max_l, -1, -1) if (W >> l) & 1]  # MSB first
+    rows = ext.shape[0]
+
+    # fwd: big-endian — largest segment first, offsets ascending
+    off = 0
+    fwd_hi = jnp.zeros((rows, LANES), jnp.uint32)
+    fwd_lo = None
+    invalid = jnp.zeros((rows, LANES), jnp.bool_)
+    for l in segs:
+        seg = fl[l][:, off : off + LANES]
+        invalid = invalid | (il[l][:, off : off + LANES] != 0)
+        if fwd_lo is None:
+            fwd_lo = seg
+        else:
+            s = 2 * (1 << l)  # < 32: only the first segment can be lvl 4
+            fwd_hi = (fwd_hi << _u32(s)) | _lsr(fwd_lo, 32 - s)
+            fwd_lo = _shl_wide(fwd_lo, s) | seg
+        off += 1 << l
+
+    # rc = crvs64(fwd) >> (64 - 2W): group-reverse + complement the
+    # 64-bit (hi:lo) forward value, then logical-shift down
+    full_hi = ~_rev2_32(fwd_lo)
+    full_lo = ~_rev2_32(fwd_hi)
+    sh = 64 - 2 * W
+    if sh < 32:
+        rc_lo = _lsr(full_lo, sh) | (full_hi << _u32(32 - sh))
+        rc_hi = _lsr(full_hi, sh)
+    else:
+        rc_lo = _lsr(full_hi, sh - 32)
+        rc_hi = jnp.zeros_like(full_hi)
+    return fwd_hi, fwd_lo, rc_hi, rc_lo, invalid
+
+
+def _sketch_kernel(
+    a_ref, b_ref, out_ref, *, params: SketchParams, seed: int,
+    debug: str = "", accum: str = "log",
+):
+    """One (BLOCK_ROWS, LANES) tile: a_ref = this row-block, b_ref = the
+    row-block one row down (halo source). Emits one code per window
+    position, SENTINEL32 where filtered out."""
+    W = params.TL
+    H = W - 1  # halo width
+
+    a = a_ref[:].astype(jnp.uint32)
+    b = b_ref[:].astype(jnp.uint32)
+    # ext[:, j] for j in [0, LANES+H): symbol at window offset j
+    ext = jnp.concatenate([a, b[:, :H]], axis=1)
+
+    accumulate = _accumulate_log if accum == "log" else _accumulate_unrolled
+    fwd_hi, fwd_lo, rc_hi, rc_lo, invalid = accumulate(ext, W)
     if 4 * params.half_ctx_len <= 32:
         fwd_hi = jnp.zeros_like(fwd_hi)  # 4k bits fit entirely in lo
 
@@ -159,6 +273,10 @@ def _sketch_kernel(
             "pf": pf,
             "uni_lo": uni_lo,
             "uni_hi": uni_hi,
+            "fwd_lo": fwd_lo,
+            "fwd_hi": fwd_hi,
+            "rc_lo": rc_lo,
+            "rc_hi": rc_hi,
             "invalid": invalid.astype(jnp.uint32),
         }[debug]
         return
@@ -182,8 +300,16 @@ def _sketch_kernel(
     out_ref[:] = jnp.where(keep, drtuple, SENTINEL32)
 
 
+def _default_accum() -> str:
+    """'log' (doubling accumulation, ~2x kernel throughput) unless
+    KSSD_TPU_PALLAS_ACCUM=unroll forces the W-step linear loop."""
+    import os
+
+    return os.environ.get("KSSD_TPU_PALLAS_ACCUM", "log")
+
+
 @functools.partial(
-    jax.jit, static_argnames=("params", "seed", "interpret", "debug")
+    jax.jit, static_argnames=("params", "seed", "interpret", "debug", "accum")
 )
 def sketch_windows_pallas(
     symbols: jax.Array,  # uint8 [N], N a multiple of LANES
@@ -191,6 +317,7 @@ def sketch_windows_pallas(
     seed: int,
     interpret: bool = False,
     debug: str = "",
+    accum: str | None = None,
 ) -> jax.Array:
     """uint32 [N] per-window sketch codes (SENTINEL32 = filtered out).
 
@@ -210,7 +337,8 @@ def sketch_windows_pallas(
     total_rows = rows + pad_rows
 
     kernel = functools.partial(
-        _sketch_kernel, params=params, seed=seed, debug=debug
+        _sketch_kernel, params=params, seed=seed, debug=debug,
+        accum=accum or _default_accum(),
     )
     out = pl.pallas_call(
         kernel,

@@ -26,12 +26,15 @@ def _mk(k, s, l, n, seed, n_breaks=40):
     return p, comp, sym
 
 
-@pytest.mark.parametrize("k,s,l", [(10, 6, 3), (8, 5, 2), (7, 5, 2)])
-def test_pallas_dense_matches_jnp(k, s, l):
+@pytest.mark.parametrize("accum", ["log", "unroll"])
+@pytest.mark.parametrize("k,s,l", [(10, 6, 3), (8, 5, 2), (7, 5, 2), (6, 5, 1)])
+def test_pallas_dense_matches_jnp(k, s, l, accum):
     p, comp, sym = _mk(k, s, l, 8192, seed=k)
     assert pallas_sketch.supported(p)
     dense = np.asarray(
-        pallas_sketch.sketch_windows_pallas(sym, p, comp.seed, interpret=True)
+        pallas_sketch.sketch_windows_pallas(
+            sym, p, comp.seed, interpret=True, accum=accum
+        )
     )
     dr, keep = sketch_ops.sketch_windows(sym, None, p, comp)
     dr, keep = np.asarray(dr), np.asarray(keep)
