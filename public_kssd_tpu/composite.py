@@ -77,39 +77,6 @@ def _segment_stats_np(rids, abunds, n_ref: int):
     return counts, sums, median, maxv, lastsum, lastn
 
 
-def _join_key_device(ref_codes, rid_of, sq, sa, q_len, *, n_ref: int,
-                     cap: int):
-    """Device join of one component's DB codes against one query's sorted
-    sketch, COMPACTED into a ``cap``-slot buffer of int64 keys
-    (rid << 32 | abundance), pads keyed to the n_ref bucket; plus the
-    true hit total for the host's overflow check (retry with a larger
-    cap, like ops/count). The device twin of the reference's per-ref
-    OpenMP probe loop (command_composite.c:464-481).
-
-    Compaction keeps the downstream sort O(hits log hits) instead of
-    O(|DB| log |DB|): at GTDB scale the DB is ~0.4G codes while a
-    query's hits are ~10^3-10^5, so sorting the raw join keys would
-    dwarf the join itself.
-    """
-    import jax.numpy as jnp
-
-    Q = sq.shape[0]
-    pos = jnp.searchsorted(sq, ref_codes)
-    pos_c = jnp.clip(pos, 0, Q - 1)
-    hit = (pos < q_len) & (sq[pos_c] == ref_codes)
-    ab = jnp.where(hit, sa[pos_c].astype(jnp.int64), 0)
-    rid = jnp.where(hit, rid_of.astype(jnp.int64), n_ref)
-    key = (rid << 32) | ab
-    # int32 cumsum: |DB| < 2^31 postings per component, and the int64
-    # variant doubles this kernel's largest transient at GTDB scale
-    hidx = jnp.cumsum(hit.astype(jnp.int32))
-    total = hidx[-1]
-    dst = jnp.where(hit & (hidx <= cap), hidx - 1, cap)
-    pad = jnp.int64(n_ref) << 32
-    buf = jnp.full(cap + 1, pad, jnp.int64).at[dst].set(key)
-    return buf.at[cap].set(total)  # last slot = true hit total
-
-
 def _batched_join_impl(
     ref_codes, rid_of, sq, sqid, sab, *,
     n_qry: int, n_ref: int, qid_shift: int, cap: int,
@@ -121,8 +88,8 @@ def _batched_join_impl(
     last slot = true hit total for the host's overflow retry.
 
     This is the same ragged-expansion machinery as ops/count
-    (searchsorted -> cumsum -> bounded expansion); vs the per-query join
-    (_join_key_device) it does O(|DB|) work ONCE instead of once per
+    (searchsorted -> cumsum -> bounded expansion); vs a per-query join
+    it does O(|DB|) work ONCE instead of once per
     query — the difference between minutes and seconds for a GTDB-scale
     DB against a batch of samples (reference loop:
     command_composite.c:420-481, queries outer, refs inner).
@@ -132,15 +99,18 @@ def _batched_join_impl(
     Q = sq.shape[0]
     pos_l = jnp.searchsorted(sq, ref_codes, side="left")
     pos_r = jnp.searchsorted(sq, ref_codes, side="right")
-    # int32 cumsum: bounded by the per-chunk code count times query
-    # duplication; the true total is range-checked by the retry contract.
+    # int32 expansion cumsum (the int64 variant adds 268 MB of HBM
+    # transient per 2^26-chunk); a whole-batch hit count past 2^31 would
+    # wrap it, so the TRUE total is also reduced in int64 — the host's
+    # retry/ceiling check runs on that, and any wrapped buffer fails
+    # total > cap before it can be trusted.
     # ref pad rows (rid == n_ref) must not expand: their pad code
     # 0xFFFFFFFF would match the query table's pad run wholesale
     length = jnp.where(
         rid_of < n_ref, (pos_r - pos_l).astype(jnp.int32), 0
     )
     cum = jnp.cumsum(length)
-    total = cum[-1]
+    total = jnp.sum(length.astype(jnp.int64))
     t = jnp.arange(cap, dtype=jnp.int32)
     src = jnp.searchsorted(cum, t, side="right")
     src_c = jnp.clip(src, 0, length.shape[0] - 1)
@@ -207,21 +177,38 @@ def _batched_stats_device(dev_comps, n_qry: int, n_ref: int,
                 total = int(buf[-1])
                 if total <= cap:
                     break
+                # recompute FIRST: a >2^31-slot expansion (also the only
+                # way the kernel's int32 cumsum could have wrapped) must
+                # fail cleanly, not OOM the device
                 cap = 1 << int(max(total - 1, 1)).bit_length()
+                if cap > 1 << 31:
+                    raise MemoryError(
+                        f"composite hits per chunk ({total}) exceed the "
+                        "expansion limit; split the query sketch dir "
+                        "into smaller batches"
+                    )
             cap_state[ck] = max(cap_state.get(ck, 0), cap)
             keys = buf[:-1]
             hit_parts.append(keys[keys < (np.int64(n_qry) << qid_shift)])
     hits = (
         np.concatenate(hit_parts) if hit_parts else np.zeros(0, np.int64)
     )
+    # qid occupies the top bits: ONE sort groups hits by query, then
+    # searchsorted yields every query's slice (instead of n_qry full
+    # boolean scans of the hit array)
+    hits.sort()
     qids = hits >> qid_shift
     rids = (hits >> 16) & ((np.int64(1) << (qid_shift - 16)) - 1)
     abs_ = hits & np.int64(0xFFFF)
-    out = []
-    for qn in range(n_qry):
-        m = qids == qn
-        out.append(_segment_stats_np(rids[m], abs_[m], n_ref))
-    return out
+    bounds = np.searchsorted(qids, np.arange(n_qry + 1, dtype=np.int64))
+    return [
+        _segment_stats_np(
+            rids[bounds[qn]: bounds[qn + 1]],
+            abs_[bounds[qn]: bounds[qn + 1]],
+            n_ref,
+        )
+        for qn in range(n_qry)
+    ]
 
 
 # DB codes per join dispatch: bounds the kernel's elementwise int64
@@ -590,12 +577,31 @@ def cmd_composite(args) -> int:
         if args.qrydir:
             out_dir = args.outdir if len(args.outdir) >= 3 else None
             if getattr(args, "mesh", ""):
+                import sys
+
                 import jax
                 from jax.sharding import Mesh
 
                 from public_kssd_tpu.parallel import sharded_composite
 
-                n = int(args.mesh)
+                # accept "N" or dist-style "DPxREF" (queries run
+                # sequentially here, so only the ref factor matters)
+                spec = args.mesh.lower()
+                try:
+                    n = 1
+                    for part in spec.split("x"):
+                        n *= int(part)
+                except ValueError:
+                    sys.exit(
+                        f"composite --mesh: expected a device count "
+                        f"(or DPxREF), got {args.mesh!r}"
+                    )
+                avail = len(jax.devices())
+                if not 1 <= n <= avail:
+                    sys.exit(
+                        f"composite --mesh {args.mesh}: need 1..{avail} "
+                        f"devices ({avail} visible)"
+                    )
                 mesh = Mesh(np.array(jax.devices()[:n]), ("ref",))
                 report = sharded_composite.species_abundance_sharded(
                     args.refdir, args.qrydir, mesh,
