@@ -282,15 +282,21 @@ def bench_gtdb() -> None:
     del sp, comps
     gc.collect()
 
-    # composite over the same DB (device join, koc queries)
-    rep = composite.species_abundance(ref, koc, device=True)  # warm
+    # composite over the same DB: ONE cold batched call (the device path
+    # joins the whole query batch in one chunked DB pass, so wall is
+    # ~constant in n_koc and dominated by the 1.65 GB DB upload through
+    # the device tunnel; compiles come from the persistent cache)
     t0 = time.perf_counter()
     rep = composite.species_abundance(ref, koc, device=True)
     t_comp = time.perf_counter() - t0
     _emit({
-        "metric": "gtdb317k_composite_queries_per_s",
-        "value": round(n_koc / t_comp, 2),
-        "unit": f"koc queries/s vs {n_ref} refs x {sk} codes (device join)",
+        "metric": "gtdb317k_composite_batch_wall_s",
+        "value": round(t_comp, 1),
+        "unit": f"seconds for {n_koc} koc queries vs {n_ref} refs x {sk} "
+                "codes, cold: disk read + DB upload + ONE batched "
+                "chunked device join + stats (wall ~constant in query "
+                "count)",
+        "queries_per_s": round(n_koc / t_comp, 3),
         "report_rows": rep.count("\n"),
         "peak_rss_gb": _rss_gb(),
     })

@@ -187,8 +187,13 @@ def _accumulate_log(ext, W: int):
     kernel accumulated rc little-endian from narrow level segments and
     miscompiled exactly there (k=7, verified on a v5e — _shl_wide's
     constant-OR widening trick does not survive the simplifier either).
-    Remaining left shifts apply only to full-range or >=24-bit-range
-    operands.
+    Remaining left shifts apply to full-range operands or to level /
+    accumulator values of >=16-bit range (empirically safe: 16-bit-range
+    operands lower to 32-bit lanes). Hardware-validated against the jnp
+    path for every supported segment pattern — k in {6,7,8,9,10,11,13,
+    14}, i.e. W = 12..28 covering 1, 2 and 3-segment combines with and
+    without a live hi register — on a v5e (2026-08; bench.py re-asserts
+    the default geometry on every run).
     """
     three = _u32(3)
     max_l = W.bit_length() - 1  # floor(log2 W) <= 4 for W <= 30
