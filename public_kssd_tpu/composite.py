@@ -305,13 +305,25 @@ def species_abundance(
         for rc, ro, qc, qi, qa in comps:
             rc2, ro2 = pad_chunk(rc, ro)
             # combined query table: ALL queries' codes sorted together so
-            # one DB pass serves the whole batch (_batched_join_impl)
+            # one DB pass serves the whole batch (_batched_join_impl).
+            # A query's sketch is a SET of codes (the reference hash-
+            # dedups before probing, command_composite.c:453-463); inputs
+            # carrying duplicates keep the FIRST occurrence, exactly like
+            # the host oracle's searchsorted-left probe.
             qid_of = np.searchsorted(
                 qi[1:], np.arange(qc.size, dtype=np.uint64), "right"
             ).astype(np.int32)
-            order = np.argsort(qc, kind="stable")
+            order = np.lexsort(
+                (np.arange(qc.size), qid_of, qc)
+            )  # code-major, then query, then original position
             sq, sqid = qc[order], qid_of[order]
             sab = qa[order].astype(np.uint32)
+            if sq.size:
+                keep_first = np.ones(sq.size, bool)
+                keep_first[1:] = (sq[1:] != sq[:-1]) | (sqid[1:] != sqid[:-1])
+                sq, sqid, sab = (
+                    sq[keep_first], sqid[keep_first], sab[keep_first]
+                )
             L = 1 << max(int(max(sq.size - 1, 1)).bit_length(), 6)
             sq_pad = np.full(L, np.uint32(0xFFFFFFFF))
             sq_pad[: sq.size] = sq

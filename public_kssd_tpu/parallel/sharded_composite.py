@@ -65,7 +65,10 @@ def _fold_ref(ref_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
 
 def _fold_queries(qry_dir: str, n_qry: int):
     """Combined query table over ALL queries and components: folded
-    uint64 keys sorted ascending, with aligned query ids + abundances."""
+    uint64 keys sorted ascending, with aligned query ids + abundances.
+    Duplicate (query, code) pairs keep the FIRST occurrence — a sketch
+    is a set (the reference hash-dedups before probing,
+    command_composite.c:453-463), matching the host oracle exactly."""
     stat = formats.read_co_stat(qry_dir)
     ks, qs, abs_ = [], [], []
     for c in range(stat.comp_num):
@@ -78,8 +81,15 @@ def _fold_queries(qry_dir: str, n_qry: int):
         )
         abs_.append(abund.astype(np.uint32))
     k = np.concatenate(ks)
-    order = np.argsort(k, kind="stable")
-    return k[order], np.concatenate(qs)[order], np.concatenate(abs_)[order]
+    q = np.concatenate(qs)
+    a = np.concatenate(abs_)
+    order = np.lexsort((np.arange(k.size), q, k))
+    k, q, a = k[order], q[order], a[order]
+    if k.size:
+        keep = np.ones(k.size, bool)
+        keep[1:] = (k[1:] != k[:-1]) | (q[1:] != q[:-1])
+        k, q, a = k[keep], q[keep], a[keep]
+    return k, q, a
 
 
 def _shard_db(keys: np.ndarray, rids: np.ndarray, n_shards: int, n_ref: int):

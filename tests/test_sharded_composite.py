@@ -110,6 +110,51 @@ def test_sharded_multi_component(tmp_path):
     assert got == want
 
 
+def test_duplicate_query_codes_count_once(tmp_path):
+    """A forged query sketch carrying duplicate codes: a sketch is a SET
+    (the reference hash-dedups before probing, command_composite.c:
+    453-463), so both device paths must match the host oracle's
+    first-occurrence semantics instead of counting per occurrence."""
+    rng = np.random.default_rng(23)
+    ref_dir = str(tmp_path / "ref")
+    qry_dir = str(tmp_path / "qry")
+    os.makedirs(ref_dir)
+    os.makedirs(qry_dir)
+    n_ref, sk = 25, 64
+    ref = np.sort(
+        rng.integers(0, 1 << 16, size=(n_ref, sk), dtype=np.uint32), axis=1
+    )
+    formats.write_combco(ref_dir, 0, ref.ravel(),
+                         np.arange(n_ref + 1, dtype=np.uint64) * sk)
+    formats.write_co_stat(ref_dir, formats.CoStat(
+        params_id=5, koc=False, kmerlen=16, dim_rd_len=4, comp_num=1,
+        infile_num=n_ref, all_ctx_ct=int(ref.size),
+        ctx_ct=np.full(n_ref, sk, np.uint32),
+        names=[f"r{i}" for i in range(n_ref)]))
+    base = np.unique(ref[:5].ravel())[:80]
+    # every code appears TWICE, with different abundances: first must win
+    qry = np.concatenate([base, base])
+    ab = np.concatenate([
+        rng.integers(1, 30, size=base.size),
+        rng.integers(30, 60, size=base.size),
+    ]).astype(np.uint16)
+    formats.write_combco(qry_dir, 0, qry,
+                         np.array([0, qry.size], np.uint64), ab)
+    formats.write_co_stat(qry_dir, formats.CoStat(
+        params_id=5, koc=True, kmerlen=16, dim_rd_len=4, comp_num=1,
+        infile_num=1, all_ctx_ct=int(qry.size),
+        ctx_ct=np.array([qry.size], np.uint32), names=["q0"]))
+    host = composite.species_abundance(ref_dir, qry_dir, device=False)
+    dev = composite.species_abundance(ref_dir, qry_dir, device=True)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ref",))
+    meshed = sharded_composite.species_abundance_sharded(
+        ref_dir, qry_dir, mesh
+    )
+    assert host
+    assert dev == host
+    assert meshed == host
+
+
 def test_cli_mesh_composite_matches_plain(tmp_path, capsys):
     from public_kssd_tpu import cli
 
