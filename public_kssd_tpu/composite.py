@@ -151,8 +151,6 @@ def _batched_stats_device(dev_comps, n_qry: int, n_ref: int,
     """Per-query stats6 for ALL queries: one chunked DB pass total.
     ``dev_comps`` rows are (ref_dev, rid_dev, sq_dev, sqid_dev, sab_dev)
     with the query table pre-sorted and device-resident."""
-    import jax.numpy as jnp
-
     join = _batched_join_fn()
     qid_shift = 16 + max(int(n_ref).bit_length(), 1)
     assert qid_shift + max(int(n_qry).bit_length(), 1) < 63

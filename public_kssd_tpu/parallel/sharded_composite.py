@@ -63,7 +63,7 @@ def _fold_ref(ref_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
     return np.concatenate(keys), np.concatenate(rids), stat.infile_num
 
 
-def _fold_queries(qry_dir: str, n_qry: int):
+def _fold_queries(qry_dir: str):
     """Combined query table over ALL queries and components: folded
     uint64 keys sorted ascending, with aligned query ids + abundances.
     Duplicate (query, code) pairs keep the FIRST occurrence — a sketch
@@ -157,7 +157,7 @@ def species_abundance_sharded(
     keys, rids, n_ref = _fold_ref(ref_dir)
     S = mesh.shape[ref_axis]
     k2, r2 = _shard_db(keys, rids, S, n_ref)
-    sq, sqid, sab = _fold_queries(qry_dir, n_qry)
+    sq, sqid, sab = _fold_queries(qry_dir)
     qid_shift = 16 + max(int(n_ref).bit_length(), 1)
     assert qid_shift + max(int(n_qry).bit_length(), 1) < 63
 
