@@ -402,14 +402,21 @@ def bench_scaling() -> None:
         f.write(_SCALING_CHILD)
     walls = {}
     for n_dev in (1, 2, 4, 8):
-        out = subprocess.run(
-            [sys.executable, script, str(n_dev), REPO],
-            env=_clean_cpu_env(), capture_output=True, text=True,
-            timeout=900,
-        )
-        if out.returncode != 0:
-            raise RuntimeError(out.stderr[-1000:])
-        walls[n_dev] = json.loads(out.stdout.strip().splitlines()[-1])["wall_s"]
+        best = math.inf
+        for _ in range(2):  # fresh-process walls jitter +-35% on this
+            # 2-core box (cache/compile luck); min of 2 runs per size
+            out = subprocess.run(
+                [sys.executable, script, str(n_dev), REPO],
+                env=_clean_cpu_env(), capture_output=True, text=True,
+                timeout=900,
+            )
+            if out.returncode != 0:
+                raise RuntimeError(out.stderr[-1000:])
+            best = min(
+                best,
+                json.loads(out.stdout.strip().splitlines()[-1])["wall_s"],
+            )
+        walls[n_dev] = best
     eff = {n: round(100 * walls[1] / walls[n], 1) for n in (2, 4, 8)}
     _emit({
         "metric": "sharded_search_efficiency_proxy_pct",
