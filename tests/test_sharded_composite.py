@@ -110,6 +110,20 @@ def test_sharded_multi_component(tmp_path):
     assert got == want
 
 
+def test_cli_mesh_rejects_bad_specs(tmp_path, capsys):
+    from public_kssd_tpu import cli
+
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=10, sk=32, n_qry=1, seed=7)
+    for bad in ("bogus", "0", "999"):
+        with pytest.raises(SystemExit):
+            cli.main(["composite", "-r", ref_dir, "-q", qry_dir,
+                      "--mesh", bad])
+    # DPxREF spec is accepted (dp folds into the device count)
+    assert cli.main(["composite", "-r", ref_dir, "-q", qry_dir,
+                     "--mesh", "2x2"]) == 0
+    capsys.readouterr()
+
+
 def test_duplicate_query_codes_count_once(tmp_path):
     """A forged query sketch carrying duplicate codes: a sketch is a SET
     (the reference hash-dedups before probing, command_composite.c:
