@@ -530,8 +530,11 @@ def bench_sketch_breakdown(paths, params, shuffled_dev) -> None:
                 float(f(symd))  # host fetch = real sync
                 best = min(best, time.perf_counter() - t0)
             walls[K] = best
-        per_call = max((walls[10] - walls[2]) / 8, 1e-9)
-        kernel_gbps = round(nb / per_call / 1e9, 2)
+        per_call = (walls[10] - walls[2]) / 8
+        # a non-positive or sub-100us slope means timing noise swamped
+        # the chain difference — report null, not an absurd throughput
+        if per_call > 1e-4:
+            kernel_gbps = round(nb / per_call / 1e9, 2)
 
     parse_opts = pipeline.SketchOptions()
     t0 = time.perf_counter()

@@ -153,7 +153,7 @@ def _batched_stats_device(dev_comps, n_qry: int, n_ref: int,
     with the query table pre-sorted and device-resident."""
     join = _batched_join_fn()
     qid_shift = 16 + max(int(n_ref).bit_length(), 1)
-    assert qid_shift + max(int(n_qry).bit_length(), 1) < 63
+    _check_key_width(qid_shift, n_qry)
     hit_parts: list[np.ndarray] = []
     for ci, (ref_dev, rid_dev, sq_d, sqid_d, sab_d, n_q_codes) in enumerate(
         dev_comps
@@ -207,6 +207,20 @@ def _batched_stats_device(dev_comps, n_qry: int, n_ref: int,
         )
         for qn in range(n_qry)
     ]
+
+
+def _check_key_width(qid_shift: int, n_qry: int) -> None:
+    """The packed hit key ``qid << qid_shift | rid << 16 | abundance``
+    must fit a non-negative int64. Input-dependent (n_ref * n_qry), so
+    this must survive ``python -O``: an overflow would silently corrupt
+    the qid/rid bits and produce a WRONG abundance report."""
+    if qid_shift + max(int(n_qry).bit_length(), 1) >= 63:
+        raise ValueError(
+            f"composite hit-key overflow: {n_qry} queries x "
+            f"{1 << (qid_shift - 16)} ref-id space does not fit the "
+            "int64 packed key; split the query sketch dir into smaller "
+            "batches"
+        )
 
 
 # DB codes per join dispatch: bounds the kernel's elementwise int64
@@ -355,11 +369,15 @@ def append_query_report(
     qry_stat,
     binvec: bool,
     binvec_out: str,
+    write_files: bool = True,
 ) -> None:
     """Turn one query's per-ref integer aggregates into report lines (or
     a .abv file with ``binvec``) — the shared tail of every backend
     (host / single-device / mesh-sharded), so the text is identical by
-    construction (report math of command_composite.c:494-537)."""
+    construction (report math of command_composite.c:494-537).
+
+    ``write_files=False`` computes the binvec branch without the .abv
+    side effect (multi-process callers gate writes to process 0)."""
     counts, sums, median, maxv, lastsum, lastn = stats6
     # descending by matched count; ties keep smaller ref id first
     # (the reference's qsort is unstable on ties — avoid ties in tests)
@@ -383,6 +401,8 @@ def append_query_report(
                 f"{int(median[rn])}\t{int(maxv[rn])}\n"
             )
     if binvec:
+        if not write_files:
+            return
         os.makedirs(binvec_out, exist_ok=True)
         num_pass = len(binvec_rows)
         denom = binvec_sum - np.float32(num_pass)

@@ -313,6 +313,65 @@ def _default_accum() -> str:
     return os.environ.get("KSSD_TPU_PALLAS_ACCUM", "log")
 
 
+_validated: dict[tuple, bool] = {}
+
+
+def validated_on_backend(params: SketchParams, computed) -> bool:
+    """One-shot pallas-vs-jnp parity check on the REAL backend, cached
+    per (backend, params, accum, seed) for the process lifetime.
+
+    The log-depth accumulation's correctness depends on empirically
+    observed Mosaic narrow-range lane-packing behaviour (two prior
+    silent miscompiles are documented on _accumulate_log); CI exercises
+    interpret mode only, so a Mosaic/runtime change or an untested TPU
+    generation could silently produce wrong sketches. This check runs
+    once before the first production dispatch per geometry: one small
+    kernel (~8k symbols incl. BREAKs) against the always-correct jnp
+    path. On mismatch the caller falls back to jnp — slower, never
+    wrong — and an error is logged.
+    """
+    import jax
+
+    key = (jax.default_backend(), params, _default_accum(), computed.seed)
+    ok = _validated.get(key)
+    if ok is None:
+        ok = _self_check(params, computed)
+        _validated[key] = ok
+        if not ok:
+            from public_kssd_tpu import utils
+
+            utils.log.error(
+                "pallas sketch kernel FAILED the on-device parity "
+                "self-check for %s on backend %s (accum=%s) — falling "
+                "back to the jnp path (correct, slower). Set "
+                "KSSD_TPU_PALLAS_ACCUM=unroll or KSSD_TPU_PALLAS=off "
+                "and report this configuration.",
+                params, jax.default_backend(), _default_accum(),
+            )
+    return ok
+
+
+def _self_check(params: SketchParams, computed) -> bool:
+    """pallas dense output == jnp dense output on ~8k mixed symbols."""
+    from public_kssd_tpu.ops import sketch as sketch_ops
+
+    rng = np.random.default_rng(0xC0DE)
+    n = 1 << 13
+    sym = rng.integers(0, 4, size=n).astype(np.uint8)
+    sym[rng.integers(0, n, size=16)] = BREAK
+    symd = jnp.asarray(sym)
+    dense = np.asarray(sketch_windows_pallas(symd, params, computed.seed))
+    dr, keep = sketch_ops.sketch_windows(symd, None, params, computed)
+    dr, keep = np.asarray(dr), np.asarray(keep)
+    m = dr.shape[0]
+    keep_p = dense != SENTINEL32
+    return (
+        np.array_equal(keep_p[:m], keep)
+        and np.array_equal(dense[:m][keep], dr[keep].astype(np.uint32))
+        and int(keep_p[m:].sum()) == 0
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "seed", "interpret", "debug", "accum")
 )

@@ -302,7 +302,13 @@ def _pallas_mode(params, computed) -> str:
     if mode == "interpret":
         return "interpret"
     if jax.default_backend() != "cpu":
-        return "tpu"
+        # first dispatch per (backend, params, accum): cheap one-shot
+        # pallas-vs-jnp parity check on the REAL device (Mosaic lowering
+        # quirks do not reproduce in interpret mode); fall back to the
+        # always-correct jnp path on mismatch
+        if pallas_sketch.validated_on_backend(params, computed):
+            return "tpu"
+        return ""
     return ""
 
 

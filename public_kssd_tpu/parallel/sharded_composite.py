@@ -159,7 +159,7 @@ def species_abundance_sharded(
     k2, r2 = _shard_db(keys, rids, S, n_ref)
     sq, sqid, sab = _fold_queries(qry_dir)
     qid_shift = 16 + max(int(n_ref).bit_length(), 1)
-    assert qid_shift + max(int(n_qry).bit_length(), 1) < 63
+    composite._check_key_width(qid_shift, n_qry)
 
     Lq = 1 << max(int(max(sq.size - 1, 1)).bit_length(), 6)
     sq_pad = np.full(Lq, _PAD_KEY, dtype=np.uint64)
@@ -220,6 +220,12 @@ def species_abundance_sharded(
     rid = (hits >> 16) & ((np.int64(1) << (qid_shift - 16)) - 1)
     ab = hits & np.int64(0xFFFF)
     bounds = np.searchsorted(qids, np.arange(n_qry + 1, dtype=np.int64))
+    # under multi-process jax.distributed every process reaches this
+    # tail with identical gathered hits; the .abv SIDE-EFFECT writes
+    # must happen once (concurrent identical writes race on shared
+    # filesystems), so only process 0 writes — every process still
+    # returns the same report text
+    write_files = jax.process_index() == 0
     lines: list[str] = []
     for qn in range(n_qry):
         stats6 = composite._segment_stats_np(
@@ -230,5 +236,6 @@ def species_abundance_sharded(
         composite.append_query_report(
             lines, stats6, qn, ref_stat, qry_stat, binvec,
             out_dir or os.path.join(ref_dir, composite.BINVEC_DIRNAME),
+            write_files=write_files,
         )
     return "".join(lines)

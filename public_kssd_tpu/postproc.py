@@ -1,9 +1,9 @@
 """Post-processing converters: kssd composite output -> Krona / QIIME /
-CAMI taxonomic-profile formats.
+CAMI taxonomic-profile formats, plus the taxonomy/ftp helper scripts.
 
-Faithful Python ports of the three most-used reference Perl scripts
+Faithful Python ports of ALL TWELVE reference Perl scripts under src/
 (SURVEY.md C16); each is golden-tested against the original script run
-by the system perl:
+by the system perl (tests/test_postproc.py). The three most-used:
 
   krona  <- src/kssdcomposite2gtdb_tax_kronafmt.pl   (73 LoC)
   qiime  <- src/merge_krona_otu_tabs2qiime.pl        (73 LoC)

@@ -177,3 +177,15 @@ def test_composite_20k_ref_scale_device(tmp_path):
     assert dev == host
     print(f"\ncomposite 20k refs x 2 queries: host {t_host:.2f}s, "
           f"device(cpu-xla) {t_dev:.2f}s")
+
+
+def test_hit_key_width_guard():
+    """The packed int64 hit-key width guard must raise (not assert: it
+    guards an input-dependent invariant and must survive python -O)."""
+    import pytest
+
+    from public_kssd_tpu import composite
+
+    composite._check_key_width(16 + 20, 1000)  # fits: no raise
+    with pytest.raises(ValueError, match="hit-key overflow"):
+        composite._check_key_width(16 + 33, 1 << 30)

@@ -93,3 +93,43 @@ def test_rows_compaction_overflow_retry():
     codes, pos = sketch_ops.sketch_codes_stream(sym, comp, p)
     np.testing.assert_array_equal(codes, dr[keep])
     np.testing.assert_array_equal(pos, np.flatnonzero(keep))
+
+
+def test_self_check_passes_in_interpret(monkeypatch):
+    """The production self-check body agrees with the jnp oracle when the
+    kernel is correct (interpret stands in for the real device here; the
+    real-device run happens in bench.py and on first CLI dispatch)."""
+    p, comp, _ = _mk(10, 6, 3, 128, seed=1)
+    real = pallas_sketch.sketch_windows_pallas
+    monkeypatch.setattr(
+        pallas_sketch, "sketch_windows_pallas",
+        lambda sym, pp, seed: real(sym, pp, seed, interpret=True),
+    )
+    assert pallas_sketch._self_check(p, comp)
+
+
+def test_self_check_gates_dispatch(monkeypatch):
+    """A failing self-check makes _pallas_mode fall back to jnp (and the
+    verdict is cached — the check runs once per geometry)."""
+    import jax
+
+    p, comp, _ = _mk(10, 6, 3, 128, seed=2)
+    calls = []
+
+    def fake_check(pp, cc):
+        calls.append(1)
+        return False
+
+    monkeypatch.setattr(pallas_sketch, "_self_check", fake_check)
+    monkeypatch.setattr(pallas_sketch, "_validated", {})
+    monkeypatch.setattr(
+        jax, "default_backend", lambda: "tpu", raising=True
+    )
+    monkeypatch.delenv("KSSD_TPU_PALLAS", raising=False)
+    assert sketch_ops._pallas_mode(p, comp) == ""
+    assert sketch_ops._pallas_mode(p, comp) == ""
+    assert len(calls) == 1  # cached verdict, no re-dispatch
+
+    monkeypatch.setattr(pallas_sketch, "_self_check", lambda pp, cc: True)
+    monkeypatch.setattr(pallas_sketch, "_validated", {})
+    assert sketch_ops._pallas_mode(p, comp) == "tpu"
