@@ -303,49 +303,117 @@ def bench_gtdb() -> None:
 
 
 _SCALING_CHILD = textwrap.dedent("""
-    import json, os, sys, time
+    # WEAK-scaling probe: per-device DB shard FIXED (ref_per_shard
+    # genomes), query set fixed; argv = n_dev repo strategy.
+    # Reports wall, process CPU seconds of the timed region (the
+    # contention-free work measure: on an oversubscribed host, wall
+    # conflates core contention with sharding overhead, CPU-time does
+    # not), and the all-reduce bytes of the COMPILED HLO (the
+    # falsifiable collective-payload accounting).
+    import json, os, re, resource, sys, time
     import numpy as np
     n_dev = int(sys.argv[1])
+    strategy = sys.argv[3]
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_dev}"
     )
     sys.path.insert(0, sys.argv[2])
     import jax
-    from jax.sharding import Mesh
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from public_kssd_tpu import index as index_mod
     from public_kssd_tpu.parallel import sharded_search
-    from public_kssd_tpu import formats
-    import tempfile
+
+    REF_PER_SHARD, sk, n_qry, space = 12_500, 256, 512, 1 << 28
+    n_ref = REF_PER_SHARD * n_dev
     rng = np.random.default_rng(5)
-    n_ref, sk, n_qry, space = 100_000, 256, 512, 1 << 28
     ref = rng.integers(0, space, size=(n_ref, sk), dtype=np.uint64)
     sp = index_mod.build_component_index(
         ref.ravel().astype(np.uint32),
         np.arange(n_ref + 1, dtype=np.uint64) * sk, n_ref)
+    key, offsets, gids = sharded_search.merge_components([sp], 0)
+    builder = (sharded_search.build_genome_sharded_db
+               if strategy == "genome" else sharded_search.build_sharded_db)
+    db = builder(key, offsets, gids, n_ref, n_dev)
+
+    # fixed query work: half the codes planted from the FIRST shard's
+    # genomes so expansion work per query is n_dev-independent
     qry = rng.integers(0, space, size=n_qry * sk, dtype=np.uint64)
     hit = rng.random(qry.size) < 0.5
-    qry[hit] = ref.ravel()[rng.integers(0, ref.size, size=int(hit.sum()))]
-    qry = qry.astype(np.uint32)
-    shapes = {1: (1, 1), 2: (1, 2), 4: (2, 2), 8: (2, 4)}
-    dp, rf = shapes[n_dev]
-    mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(dp, rf),
-                ("dp", "ref"))
-    with tempfile.TemporaryDirectory() as d:
-        formats.write_combco(d, 0, qry,
-                             np.arange(n_qry + 1, dtype=np.uint64) * sk)
-        formats.write_co_stat(d, formats.CoStat(
-            params_id=9, koc=False, kmerlen=20, dim_rd_len=6, comp_num=1,
-            infile_num=n_qry, all_ctx_ct=int(qry.size),
-            ctx_ct=np.full(n_qry, sk, np.uint32),
-            names=[f"q{i}" for i in range(n_qry)]))
-        sharded_search.sharded_search_counts(d, [sp], 0, mesh)  # warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sharded_search.sharded_search_counts(d, [sp], 0, mesh)
-            best = min(best, time.perf_counter() - t0)
-    print(json.dumps({"n_dev": n_dev, "wall_s": best}))
+    pool = ref[:REF_PER_SHARD].ravel()
+    qry[hit] = pool[rng.integers(0, pool.size, size=int(hit.sum()))]
+    qq = np.repeat(np.arange(n_qry, dtype=np.int32), sk)
+    L = 1 << int(max(qry.size - 1, 1)).bit_length()
+    qk_pad = np.zeros(L, dtype=np.uint64)
+    qk_pad[: qry.size] = qry
+    qq_pad = np.full(L, -1, dtype=np.int32)
+    qq_pad[: qq.size] = qq
+
+    mesh = Mesh(np.array(jax.devices()).reshape(1, n_dev), ("dp", "ref"))
+    # exact per-device pair capacity (shared helper logic)
+    cap = 64
+    for s in range(n_dev):
+        u, o = db.uniq[s], db.offsets[s]
+        row = np.searchsorted(u, qk_pad)
+        row_c = np.clip(row, 0, u.size - 1)
+        found = (row < u.size) & (u[row_c] == qk_pad) & (qq_pad >= 0)
+        lens = ((o[row_c + 1] - o[row_c]) * found).astype(np.int64)
+        if strategy == "genome":
+            cap = max(cap, int(lens.sum()))
+    if strategy == "code":
+        row = np.searchsorted(key, qk_pad)
+        row_c = np.clip(row, 0, key.size - 1)
+        found = (row < key.size) & (key[row_c] == qk_pad) & (qq_pad >= 0)
+        lens = ((offsets[row_c + 1] - offsets[row_c]) * found).astype(
+            np.int64)
+        shard_of = np.searchsorted(db.row_bounds[1:-1], row_c, "right")
+        cap = max(cap, int(np.bincount(
+            shard_of, weights=lens, minlength=n_dev).max()))
+    capacity = 1 << int(max(cap - 1, 1)).bit_length()
+
+    per_col = REF_PER_SHARD if strategy == "genome" else n_ref
+    fn = sharded_search.make_sharded_count_fn(
+        mesh, n_qry, per_col, capacity, strategy=strategy)
+    sh_ref = NamedSharding(mesh, P("ref", None))
+    sh_dp = NamedSharding(mesh, P("dp"))
+    db_dev = tuple(
+        jax.make_array_from_callback(a.shape, sh_ref, lambda i, a=a: a[i])
+        for a in (db.uniq, db.offsets, db.gids))
+    qk_dev = jax.make_array_from_callback(
+        qk_pad.shape, sh_dp, lambda i: qk_pad[i])
+    qq_dev = jax.make_array_from_callback(
+        qq_pad.shape, sh_dp, lambda i: qq_pad[i])
+
+    # collective-byte accounting straight from the compiled HLO
+    hlo = fn.lower(qk_dev, qq_dev, *db_dev).compile().as_text()
+    BYTES = {"u8": 1, "u16": 2, "u32": 4, "s32": 4, "f32": 4,
+             "u64": 8, "s64": 8, "f64": 8, "pred": 1}
+    ar_bytes = 0
+    for m in re.finditer(
+            r"= (\\w+)\\[([\\d,]*)\\][^ ]* all-reduce", hlo):
+        dims = [int(x) for x in m.group(2).split(",") if x]
+        ar_bytes += int(np.prod(dims)) * BYTES.get(m.group(1), 4) if dims \\
+            else BYTES.get(m.group(1), 4)
+
+    out = np.asarray(fn(qk_dev, qq_dev, *db_dev))  # warm (compile done)
+    checksum = int(out[:, :n_ref].sum())
+    # timed region: the SPMD step only (block_until_ready, no host
+    # fetch) — on a real pod each host fetches just its own output
+    # shard, so the O(N) whole-matrix host copy is not part of the
+    # scaled step
+    walls = []
+    ru0 = resource.getrusage(resource.RUSAGE_SELF)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(qk_dev, qq_dev, *db_dev))
+        walls.append(time.perf_counter() - t0)
+    ru1 = resource.getrusage(resource.RUSAGE_SELF)
+    cpu = (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime)
+    print(json.dumps({
+        "n_dev": n_dev, "strategy": strategy, "wall_s": min(walls),
+        "cpu_s_per_step": cpu / 3, "allreduce_bytes": ar_bytes,
+        "capacity": capacity, "n_ref": n_ref, "checksum": checksum,
+    }))
 """)
 
 _SKETCH_CHILD = textwrap.dedent("""
@@ -369,12 +437,16 @@ _SKETCH_CHILD = textwrap.dedent("""
                           drlevel=3)
     shuf = shufspace.ComputedShuf(params.id, params.half_subctx_len)
     out = os.path.join(data_dir, f"skout_{n_proc}_{pid}")
-    import shutil
+    import resource, shutil
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
     pipeline.run_stage1(mine, out, params, shuf,
                         pipeline.SketchOptions(compat_order=False))
-    print(json.dumps({"pid": pid, "wall_s": time.perf_counter() - t0,
+    wall = time.perf_counter() - t0
+    rs = resource.getrusage(resource.RUSAGE_SELF)
+    rc = resource.getrusage(resource.RUSAGE_CHILDREN)
+    cpu = rs.ru_utime + rs.ru_stime + rc.ru_utime + rc.ru_stime
+    print(json.dumps({"pid": pid, "wall_s": wall, "cpu_s": cpu,
                       "n": len(mine)}))
 """)
 
@@ -389,45 +461,88 @@ def _clean_cpu_env() -> dict:
     return env
 
 
+# v5e public figures for the analytic collective model (jax-ml
+# scaling-book numbers; the model is emitted so a future pod run has a
+# prediction to falsify)
+ICI_BW_ONEWAY = 4.5e10  # bytes/s per link, TPU v5e
+DCN_BW_HOST = 2.5e10  # bytes/s per host egress (order of magnitude)
+
+
 def bench_scaling() -> None:
-    """Scaling proxies on CPU subprocesses. The 8 virtual devices share
-    this host's 2 physical cores, so the measurable quantity is the
-    OVERHEAD of decomposition + collectives (wall_N / wall_1 at fixed
-    total work; 1.0 = free sharding), not real chip scaling — stated as
-    such. Real multi-chip scaling needs a pod slice this environment
-    does not have (BASELINE.md north star >= 80%)."""
+    """WEAK-scaling study on CPU subprocesses (no pod here): per-device
+    DB shard fixed at 12.5k genomes, fixed 512-query batch, mesh (1, N).
+
+    Three falsifiable quantities per sharding strategy:
+      * cpu_inflation = cpu_N / cpu_1 per step. The per-device work is
+        constant by construction, so a free decomposition gives N x the
+        total CPU at N devices -> per-STEP process-CPU seconds would
+        grow ~linearly with N only from sharding overhead IF divided
+        out; we report cpu_N/step / (N * cpu_1-per-shard-equivalent) =
+        cpu_s_per_step[N] / (N * cpu_s_per_step[1]). 1.0 = free
+        sharding. CPU time is contention-free (wall on 2 oversubscribed
+        cores is not, which made the old fixed-work proxy
+        uninformative).
+      * allreduce_bytes: counted from the COMPILED HLO of the step.
+        genome strategy must be 0; code strategy must equal the psum
+        partial (n_qry x n_ref x 4 B, up to compiler fusion).
+      * an analytic ICI model: ring all-reduce moves 2(S-1)/S x payload
+        per device; at ICI_BW_ONEWAY this predicts the collective
+        seconds a real v5e pod would add per batch.
+    """
     script = os.path.join(DATA_DIR, "scaling_child.py")
     os.makedirs(DATA_DIR, exist_ok=True)
     with open(script, "w") as f:
         f.write(_SCALING_CHILD)
-    walls = {}
-    for n_dev in (1, 2, 4, 8):
-        best = math.inf
-        for _ in range(2):  # fresh-process walls jitter +-35% on this
-            # 2-core box (cache/compile luck); min of 2 runs per size
-            out = subprocess.run(
-                [sys.executable, script, str(n_dev), REPO],
-                env=_clean_cpu_env(), capture_output=True, text=True,
-                timeout=900,
-            )
-            if out.returncode != 0:
-                raise RuntimeError(out.stderr[-1000:])
-            best = min(
-                best,
-                json.loads(out.stdout.strip().splitlines()[-1])["wall_s"],
-            )
-        walls[n_dev] = best
-    eff = {n: round(100 * walls[1] / walls[n], 1) for n in (2, 4, 8)}
-    _emit({
-        "metric": "sharded_search_efficiency_proxy_pct",
-        "value": eff[8],
-        "unit": "100*T1/T8 wall, fixed 50k-ref DB on a 2-core 8-virtual-"
-                "device CPU mesh: decomposition+psum overhead proxy "
-                "(100 = free sharding). NOT chip scaling — no pod here; "
-                "BASELINE north star >=80% on real hosts",
-        "per_n": {str(n): eff[n] for n in eff},
-        "wall_s": {str(n): round(w, 2) for n, w in walls.items()},
-    })
+    for strategy in ("genome", "code"):
+        res: dict[int, dict] = {}
+        for n_dev in (1, 2, 4, 8):
+            best = None
+            for _ in range(2):  # min-of-2 fresh processes vs jitter
+                out = subprocess.run(
+                    [sys.executable, script, str(n_dev), REPO, strategy],
+                    env=_clean_cpu_env(), capture_output=True, text=True,
+                    timeout=900,
+                )
+                if out.returncode != 0:
+                    raise RuntimeError(out.stderr[-1000:])
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                if best is None or r["cpu_s_per_step"] < best["cpu_s_per_step"]:
+                    best = r
+            res[n_dev] = best
+        cpu1 = res[1]["cpu_s_per_step"]
+        inflation = {
+            n: round(res[n]["cpu_s_per_step"] / (n * cpu1), 3)
+            for n in (2, 4, 8)
+        }
+        # analytic ICI collective seconds per step at the GTDB flagship
+        # shape (64-query batch x 317k refs, uint32)
+        payload = 64 * 317_000 * 4
+        model = {
+            str(s): round(
+                (2 * (s - 1) / s) * payload / ICI_BW_ONEWAY * 1e3, 3
+            ) if res[8]["allreduce_bytes"] else 0.0
+            for s in (2, 4, 8)
+        }
+        _emit({
+            "metric": f"weak_scaling_{strategy}_cpu_inflation_x8",
+            "value": inflation[8],
+            "unit": "cpu_s_per_step(N)/(N*cpu_s_per_step(1)) at N=8, "
+                    "fixed 12.5k-genome shard/device, 512 queries, "
+                    "(1,N) cpu mesh. 1.0 = free sharding; CPU-seconds "
+                    "are contention-free unlike wall on 2 shared cores. "
+                    "North star: >=80% linear scaling => inflation "
+                    "<= 1.25 on a real pod",
+            "per_n": {str(n): inflation[n] for n in inflation},
+            "cpu_s_per_step": {
+                str(n): round(res[n]["cpu_s_per_step"], 3) for n in res
+            },
+            "wall_s": {str(n): round(res[n]["wall_s"], 2) for n in res},
+            "allreduce_bytes_per_step": {
+                str(n): res[n]["allreduce_bytes"] for n in res
+            },
+            "ici_model_ms_per_gtdb_batch": model,
+            "checksum": {str(n): res[n]["checksum"] for n in res},
+        })
 
     # 1- vs 2-process jax.distributed sketching over the bench genomes
     sketch_script = os.path.join(DATA_DIR, "sketch_child.py")
@@ -435,7 +550,7 @@ def bench_scaling() -> None:
         f.write(_SKETCH_CHILD)
     _make_data()
 
-    def run_procs(n_proc: int) -> float:
+    def run_procs(n_proc: int) -> tuple[float, float]:
         import socket
 
         with socket.socket() as s:
@@ -450,23 +565,32 @@ def bench_scaling() -> None:
             )
             for i in range(n_proc)
         ]
-        walls = []
+        walls, cpus = [], []
         for p in procs:
             out, err = p.communicate(timeout=900)
             if p.returncode != 0:
                 raise RuntimeError(err[-1000:])
-            walls.append(json.loads(out.strip().splitlines()[-1])["wall_s"])
-        return max(walls)
+            r = json.loads(out.strip().splitlines()[-1])
+            walls.append(r["wall_s"])
+            cpus.append(r["cpu_s"])
+        return max(walls), sum(cpus)
 
-    t1 = run_procs(1)
-    t2 = run_procs(2)
+    t1, c1 = run_procs(1)
+    t2, c2 = run_procs(2)
+    # fixed total work (8 genomes) split 1 vs 2 processes: total CPU
+    # seconds are contention-free, so c2/c1 is the true decomposition
+    # overhead (jax.distributed init, per-process compile, split file
+    # IO); 1.0 = free split. Wall on 2 shared cores is context only.
     _emit({
-        "metric": "sketch_2proc_split_efficiency_proxy_pct",
-        "value": round(100 * t1 / t2 / 2, 1) if t2 else 0.0,
-        "unit": "100*T1/(2*T2), 8 genomes split over 2 jax.distributed "
-                "processes on 2 shared cores (CPU backend; ratio proxy "
-                "only — single-process XLA already uses both cores, so "
-                "50% is the shared-core ideal here)",
+        "metric": "sketch_2proc_split_cpu_inflation",
+        "value": round(c2 / c1, 3) if c1 else 0.0,
+        "unit": "total CPU-s of 2 jax.distributed processes / 1 process, "
+                "same 8 genomes (1.0 = free split; contention-free "
+                "measure — wall on 2 shared cores cannot separate "
+                "contention from overhead). North star >=80% scaling "
+                "=> inflation <= 1.25",
+        "cpu_1proc_s": round(c1, 2),
+        "cpu_2proc_s": round(c2, 2),
         "wall_1proc_s": round(t1, 2),
         "wall_2proc_s": round(t2, 2),
     })

@@ -88,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="merge a sharded sketch root (from --shard runs) into -o")
     p.add_argument("--mesh", default="", metavar="DPxREF",
                    help="search with a sharded device mesh, e.g. 2x4")
+    p.add_argument("--shard-strategy", default="genome",
+                   choices=["genome", "code"],
+                   help="--mesh DB sharding: 'genome' blocks (collective-"
+                        "free column outputs, default) or 'code' ranges "
+                        "(psum-merged partials)")
     p.add_argument("--profile", default="", metavar="DIR",
                    help="write a jax profiler trace to DIR")
     p.add_argument("remaining", nargs="*", help="query files/dirs")
@@ -368,6 +373,7 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
                 component_sz=args.component_sz,
                 mem_gb=args.mmry,
                 koc=args.koc_out,
+                shard_strategy=args.shard_strategy,
             )
             return 0
         if qry_is_co:

@@ -1,17 +1,31 @@
 """Multi-device / multi-host search: reference DB sharded over a mesh.
 
 The reference has no distributed backend at all (single node, OpenMP +
-mmap; SURVEY.md §2). This module is the TPU-native scale-out design:
+mmap; SURVEY.md §2). This module is the TPU-native scale-out design.
+Query code batches are sharded over the data-parallel axis ``dp``; the
+CSR inverted index is sharded over the mesh axis ``ref`` by one of two
+strategies:
 
-  * the CSR inverted index is sharded by CODE RANGE over the mesh axis
-    ``ref`` — each device owns a contiguous slice of the sorted unique
-    code space with its postings (balanced by postings mass),
-  * query code batches are replicated over ``ref`` and sharded over the
-    data-parallel axis ``dp``,
-  * every device counts its queries against its DB shard with the same
-    capacity-bounded expansion kernel as single-chip search, and the
+  * ``genome`` (default): each device owns a contiguous BLOCK OF GENOMES
+    (a per-shard CSR over only its genomes' postings, local genome ids).
+    Every device counts its query shard against its genome block and
+    emits the [n_qry, n_ref/S] count COLUMNS it alone owns — the output
+    is sharded P(dp, ref) and there is NO collective in the step at all;
+    the global matrix is a concatenation. Per-device communication is
+    the device's own output block (n_qry x n_ref/S x 4 B), constant
+    under weak scaling, and the scatter target stays small. This also
+    composes with per-host artifacts: a stage II index built from a
+    host's own sketch shard IS a genome shard.
+
+  * ``code``: each device owns a contiguous slice of the sorted unique
+    code space (balanced by postings mass) over ALL genomes; per-shard
     partial [n_qry, n_ref] counts merge with ``jax.lax.psum`` over
-    ``ref`` — one ICI collective per batch.
+    ``ref`` — one ring all-reduce of 2(S-1)/S x n_qry x n_ref x 4 B per
+    device per batch. Kept for comparison and for DBs whose postings
+    are so genome-skewed that genome blocks cannot balance.
+
+bench.py's weak-scaling section measures both and counts the collective
+bytes from the compiled HLO; README.md carries the resulting ICI model.
 
 Components are folded into a single uint64 key space
 (key = id << comp_code_bits | component — a bijection of the reference's
@@ -81,18 +95,30 @@ def merge_components(
     return key, offsets, gid
 
 
-def query_keys(qry_dir: str, comp_code_bits: int) -> tuple[np.ndarray, np.ndarray]:
-    """All query codes of a sketch dir as merged uint64 keys + query ids."""
+def query_keys(
+    qry_dir: str, comp_code_bits: int, with_abund: bool = False
+):
+    """All query codes of a sketch dir as merged uint64 keys + query ids
+    (+ per-code uint32 abundances from the ``.a`` files with
+    ``with_abund``)."""
     stat = formats.read_co_stat(qry_dir)
-    keys, qids = [], []
+    keys, qids, abunds = [], [], []
     for c in range(stat.comp_num):
-        codes, index = formats.read_combco(qry_dir, c)
+        if with_abund:
+            codes, index, ab = formats.read_combco(qry_dir, c, with_abund=True)
+            abunds.append(ab.astype(np.uint32))
+        else:
+            codes, index = formats.read_combco(qry_dir, c)
         keys.append((codes.astype(np.uint64) << np.uint64(comp_code_bits))
                     | np.uint64(c))
         qids.append(
             np.searchsorted(
                 index[1:], np.arange(codes.size, dtype=np.uint64), "right"
             ).astype(np.int32)
+        )
+    if with_abund:
+        return (
+            np.concatenate(keys), np.concatenate(qids), np.concatenate(abunds)
         )
     return np.concatenate(keys), np.concatenate(qids)
 
@@ -143,6 +169,55 @@ def build_sharded_db(
                      n_shards=n_shards, row_bounds=row_bounds)
 
 
+def build_genome_sharded_db(
+    key: np.ndarray, offsets: np.ndarray, gids: np.ndarray,
+    n_ref: int, n_shards: int,
+) -> ShardedDB:
+    """Split a merged CSR into ``n_shards`` GENOME blocks: shard s owns
+    genomes [s*per, (s+1)*per) and carries a per-shard CSR over only the
+    codes that have >=1 posting in its block, with LOCAL genome ids.
+    ``row_bounds`` here stores the genome-block boundaries (per-shard
+    column offsets of the global count matrix)."""
+    per = -(-max(n_ref, 1) // n_shards)
+    owner = gids // np.uint32(per)
+    # row (merged-CSR code index) of every posting
+    row_of = np.repeat(
+        np.arange(key.size, dtype=np.int64), np.diff(offsets).astype(np.int64)
+    )
+    shard_uniq, shard_offs, shard_gids = [], [], []
+    nnz_pad, g_pad = 1, 1
+    for s in range(n_shards):
+        m = owner == s
+        rows = row_of[m]
+        local = gids[m].astype(np.uint32) - np.uint32(s * per)
+        # postings of one shard keep merged-CSR order: grouped by code
+        # ascending, so unique rows give the shard's CSR directly
+        urows, counts = np.unique(rows, return_counts=True)
+        offs = np.zeros(urows.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        shard_uniq.append(key[urows])
+        shard_offs.append(offs)
+        shard_gids.append(local)
+        nnz_pad = max(nnz_pad, urows.size)
+        g_pad = max(g_pad, local.size)
+    uniq = np.full(
+        (n_shards, nnz_pad), np.iinfo(np.uint64).max, dtype=np.uint64
+    )
+    offs2 = np.zeros((n_shards, nnz_pad + 1), dtype=np.int64)
+    gd = np.zeros((n_shards, g_pad), dtype=np.uint32)
+    for s in range(n_shards):
+        n = shard_uniq[s].size
+        uniq[s, :n] = shard_uniq[s]
+        offs2[s, : n + 1] = shard_offs[s]
+        offs2[s, n + 1 :] = shard_offs[s][-1]
+        gd[s, : shard_gids[s].size] = shard_gids[s]
+    bounds = np.minimum(
+        np.arange(n_shards + 1, dtype=np.int64) * per, n_ref
+    )
+    return ShardedDB(uniq=uniq, offsets=offs2, gids=gd, n_ref=n_ref,
+                     n_shards=n_shards, row_bounds=bounds)
+
+
 def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacity):
     """Per-shard counting (same algorithm as ops.count.count_shared_device,
     on uint64 keys). All inputs are the LOCAL shard block."""
@@ -167,9 +242,41 @@ def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacit
     return counts[:-1].reshape(n_qry, n_ref)
 
 
+def _count_partial_weighted(
+    qry_keys, qry_qid, qry_w, uniq, offsets, gids, n_qry, n_ref, capacity
+):
+    """Weighted twin of _count_partial: each matched (query occurrence x
+    posting) pair contributes the query code's abundance (``.a`` counter)
+    — the sharded koc path (semantics of koc_dist_print_nobin,
+    command_dist.c:1080-1160; single-device twin
+    ops.count.count_shared_weighted_device). Returns uint64 so deep
+    postings cannot wrap; the psum stays exact in x64 mode."""
+    nnz = uniq.shape[0]
+    row = jnp.searchsorted(uniq, qry_keys)
+    row_c = jnp.clip(row, 0, nnz - 1)
+    found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
+    start = jnp.where(found, offsets[row_c], 0)
+    length = jnp.where(found, offsets[row_c + 1] - offsets[row_c], 0)
+    cum = jnp.cumsum(length)
+    total = cum[-1]
+    t = jnp.arange(capacity, dtype=jnp.int64)
+    src = jnp.searchsorted(cum, t, side="right")
+    src_c = jnp.clip(src, 0, length.shape[0] - 1)
+    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+    pos = jnp.clip(start[src_c] + (t - prev), 0, gids.shape[0] - 1)
+    rid = gids[pos].astype(jnp.int64)
+    qid = qry_qid[src_c].astype(jnp.int64)
+    valid = t < total
+    flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    w = jnp.where(valid, qry_w[src_c].astype(jnp.uint64), 0)
+    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint64).at[flat].add(w)
+    return counts[:-1].reshape(n_qry, n_ref)
+
+
 def make_sharded_count_fn(
     mesh: Mesh, n_qry: int, n_ref: int, capacity: int,
     qry_axis: str = "dp", ref_axis: str = "ref",
+    weighted: bool = False, strategy: str = "code",
 ):
     """jit-compiled 2-D SPMD counting step over ``mesh``.
 
@@ -177,17 +284,55 @@ def make_sharded_count_fn(
       qry_keys uint64 [n_qry_pad_total_codes]  sharded over dp
       qry_qid  int32  [same]                   sharded over dp (LOCAL ids)
       db.uniq/offsets/gids                     sharded over ref (leading axis)
-    Output: counts uint32 [n_qry, n_ref] sharded over dp on axis 0.
+
+    ``strategy='code'``: n_ref is the GLOBAL genome count; per-shard
+    partial [n_qry, n_ref] matrices merge with psum over ``ref`` (one
+    ring all-reduce per call). Output sharded P(dp, None).
+
+    ``strategy='genome'``: n_ref is the PER-SHARD column count; each
+    device emits only its own [n_qry, n_ref] column block — NO collective
+    — and the output is sharded P(dp, ref) (global columns = shards
+    concatenated).
+
+    With ``weighted`` the step takes a third uint32 abundance input
+    (sharded over dp) and returns a (uint32 counts, uint64 weighted)
+    pair from ONE expansion pass per device.
 
     n_qry is the PER-DP-SHARD query count; capacity the per-device pair
     budget.
     """
+    genome = strategy == "genome"
+    out_spec = P(qry_axis, ref_axis) if genome else P(qry_axis, None)
+
+    def merge(x):
+        return x if genome else jax.lax.psum(x, ref_axis)
+
+    if weighted:
+        def step(qk, qq, qw, uniq, offsets, gids):
+            partial = _count_partial(
+                qk, qq, uniq[0], offsets[0], gids[0], n_qry, n_ref, capacity
+            )
+            wpartial = _count_partial_weighted(
+                qk, qq, qw, uniq[0], offsets[0], gids[0],
+                n_qry, n_ref, capacity,
+            )
+            return merge(partial), merge(wpartial)
+
+        fn = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(
+                P(qry_axis), P(qry_axis), P(qry_axis),
+                P(ref_axis, None), P(ref_axis, None), P(ref_axis, None),
+            ),
+            out_specs=(out_spec, out_spec),
+        )
+        return jax.jit(fn)
 
     def step(qk, qq, uniq, offsets, gids):
-        partial = _count_partial(
+        return merge(_count_partial(
             qk, qq, uniq[0], offsets[0], gids[0], n_qry, n_ref, capacity
-        )
-        return jax.lax.psum(partial, ref_axis)
+        ))
 
     fn = shard_map(
         step,
@@ -196,7 +341,7 @@ def make_sharded_count_fn(
             P(qry_axis), P(qry_axis),
             P(ref_axis, None), P(ref_axis, None), P(ref_axis, None),
         ),
-        out_specs=P(qry_axis, None),
+        out_specs=out_spec,
     )
     return jax.jit(fn)
 
@@ -210,6 +355,8 @@ def sharded_search_counts(
     ref_axis: str = "ref",
     batch: int = 0,
     counts_out: np.ndarray | None = None,
+    koc_out: np.ndarray | None = None,
+    strategy: str = "genome",
 ) -> np.ndarray:
     """End-to-end sharded counting of a query sketch dir against CSR
     components; returns uint32 [n_qry, n_ref]. ``comp_code_bits`` is the
@@ -219,15 +366,31 @@ def sharded_search_counts(
     governor: the DB shards stay resident, only the per-step count
     matrix block and query pad scale with the batch); ``counts_out``
     (e.g. a np.memmap) receives the rows so host RAM stays bounded.
+    ``koc_out`` (uint64 [n_qry, n_ref]) additionally accumulates the
+    abundance-weighted counts from the query ``.a`` files — the --koc-out
+    table under --mesh, byte-equal to the single-device path.
+    ``strategy``: 'genome' (collective-free column blocks, default) or
+    'code' (code-range shards + psum) — see the module docstring.
     """
     if isinstance(comp_code_bits, SketchParams):
         comp_code_bits = comp_code_bits.comp_code_bits
+    if strategy not in ("genome", "code"):
+        raise ValueError(f"unknown sharding strategy {strategy!r}")
     n_ref = components[0].n_genomes
     key, offsets, gids = merge_components(components, comp_code_bits)
     n_ref_shards = mesh.shape[ref_axis]
-    db = build_sharded_db(key, offsets, gids, n_ref, n_ref_shards)
+    builder = (
+        build_genome_sharded_db if strategy == "genome" else build_sharded_db
+    )
+    db = builder(key, offsets, gids, n_ref, n_ref_shards)
 
-    qk_all, qq_all = query_keys(qry_dir, comp_code_bits)
+    if koc_out is not None:
+        qk_all, qq_all, qw_all = query_keys(
+            qry_dir, comp_code_bits, with_abund=True
+        )
+    else:
+        qk_all, qq_all = query_keys(qry_dir, comp_code_bits)
+        qw_all = None
     stat = formats.read_co_stat(qry_dir)
     n_qry_total = stat.infile_num
     out = (
@@ -245,19 +408,27 @@ def sharded_search_counts(
     for b0 in range(0, n_qry_total, batch):
         b1 = min(b0 + batch, n_qry_total)
         m = (qq_all >= b0) & (qq_all < b1)
-        out[b0:b1] = _sharded_count_block(
+        blk = _sharded_count_block(
             qk_all[m], qq_all[m] - b0, b1 - b0, key, offsets, db, db_dev,
             mesh, qry_axis, ref_axis,
+            qw=qw_all[m] if qw_all is not None else None,
+            strategy=strategy,
         )
+        if koc_out is not None:
+            out[b0:b1], koc_out[b0:b1] = blk
+        else:
+            out[b0:b1] = blk
     return out
 
 
 def _sharded_count_block(
     qk, qq, n_qry: int, key, offsets, db: ShardedDB, db_dev,
     mesh: Mesh, qry_axis: str, ref_axis: str,
-) -> np.ndarray:
+    qw=None, strategy: str = "code",
+):
     """Count one contiguous block of queries (LOCAL ids [0, n_qry)) against
-    a prebuilt ShardedDB; returns uint32 [n_qry, n_ref]."""
+    a prebuilt ShardedDB; returns uint32 [n_qry, n_ref] — or the
+    (counts uint32, koc uint64) pair when ``qw`` carries abundances."""
     n_ref = db.n_ref
     n_ref_shards = db.n_shards
     n_dp = mesh.shape[qry_axis]
@@ -268,33 +439,61 @@ def _sharded_count_block(
     for d in range(n_dp):
         qlo, qhi = d * per_dp, min((d + 1) * per_dp, n_qry)
         m = (qq >= qlo) & (qq < qhi)
-        blocks.append((qk[m], qq[m] - qlo))
+        blocks.append((qk[m], qq[m] - qlo, qw[m] if qw is not None else None))
         L = max(L, int(m.sum()))
     L = max(1 << max(int(max(L - 1, 1)).bit_length(), 6), 64)
     qk_pad = np.zeros((n_dp, L), dtype=np.uint64)
     qq_pad = np.full((n_dp, L), -1, dtype=np.int32)
-    for d, (k_, q_) in enumerate(blocks):
+    qw_pad = np.zeros((n_dp, L), dtype=np.uint32) if qw is not None else None
+    for d, (k_, q_, w_) in enumerate(blocks):
         qk_pad[d, : k_.size] = k_
         qq_pad[d, : q_.size] = q_
+        if qw_pad is not None:
+            qw_pad[d, : w_.size] = w_
 
     # capacity: max matching pairs over (dp, ref-shard) PAIRS — the
     # per-DEVICE pair budget. Bucketing the postings lengths by the
-    # shard owning each matched row keeps the budget ~1/S of the full-DB
+    # shard owning each matched pair keeps the budget ~1/S of the full-DB
     # pair count (round-1 used the full-DB max, so every device paid the
     # unsharded expansion cost).
     cap = 64
-    for d in range(n_dp):
-        row = np.searchsorted(key, qk_pad[d])
-        row_c = np.clip(row, 0, key.size - 1)
-        found = (row < key.size) & (key[row_c] == qk_pad[d]) & (qq_pad[d] >= 0)
-        lens = ((offsets[row_c + 1] - offsets[row_c]) * found).astype(np.int64)
-        shard_of = np.searchsorted(db.row_bounds[1:-1], row_c, side="right")
-        per_shard = np.bincount(shard_of, weights=lens, minlength=n_ref_shards)
-        cap = max(cap, int(per_shard.max()))
+    if strategy == "genome":
+        # per-shard CSRs: a device's pairs = its own local row lengths
+        for d in range(n_dp):
+            for s in range(n_ref_shards):
+                u, o = db.uniq[s], db.offsets[s]
+                row = np.searchsorted(u, qk_pad[d])
+                row_c = np.clip(row, 0, u.size - 1)
+                found = (
+                    (row < u.size) & (u[row_c] == qk_pad[d])
+                    & (qq_pad[d] >= 0)
+                )
+                lens = ((o[row_c + 1] - o[row_c]) * found).astype(np.int64)
+                cap = max(cap, int(lens.sum()))
+    else:
+        for d in range(n_dp):
+            row = np.searchsorted(key, qk_pad[d])
+            row_c = np.clip(row, 0, key.size - 1)
+            found = (
+                (row < key.size) & (key[row_c] == qk_pad[d])
+                & (qq_pad[d] >= 0)
+            )
+            lens = ((offsets[row_c + 1] - offsets[row_c]) * found).astype(
+                np.int64
+            )
+            shard_of = np.searchsorted(db.row_bounds[1:-1], row_c, "right")
+            per_shard = np.bincount(
+                shard_of, weights=lens, minlength=n_ref_shards
+            )
+            cap = max(cap, int(per_shard.max()))
     capacity = 1 << int(max(cap - 1, 1)).bit_length()
 
+    per_col = (
+        -(-n_ref // n_ref_shards) if strategy == "genome" else n_ref
+    )
     fn = make_sharded_count_fn(
-        mesh, per_dp, n_ref, capacity, qry_axis, ref_axis
+        mesh, per_dp, per_col, capacity, qry_axis, ref_axis,
+        weighted=qw is not None, strategy=strategy,
     )
     qk_flat = qk_pad.reshape(-1)
     qq_flat = qq_pad.reshape(-1)
@@ -308,13 +507,25 @@ def _sharded_count_block(
     def put(arr, sh):
         return jax.make_array_from_callback(arr.shape, sh, lambda i: arr[i])
 
-    with mesh:
-        out = fn(put(qk_flat, sh_dp), put(qq_flat, sh_dp), *db_dev)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+    def fetch(out):
+        # rows are per-dp-shard blocks stacked: [n_dp*per_dp, cols];
+        # genome strategy pads cols to n_shards*per_col — slice to n_ref
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
 
-        counts = np.asarray(multihost_utils.process_allgather(out, tiled=True))
-    else:
-        counts = np.asarray(out)
-    # counts rows are per-dp-shard blocks stacked: [n_dp*per_dp, n_ref]
-    return counts[:n_qry]
+            arr = np.asarray(
+                multihost_utils.process_allgather(out, tiled=True)
+            )
+        else:
+            arr = np.asarray(out)
+        return arr[:n_qry, :n_ref]
+
+    with mesh:
+        if qw is not None:
+            out, koc = fn(
+                put(qk_flat, sh_dp), put(qq_flat, sh_dp),
+                put(qw_pad.reshape(-1), sh_dp), *db_dev,
+            )
+            return fetch(out), fetch(koc)
+        out = fn(put(qk_flat, sh_dp), put(qq_flat, sh_dp), *db_dev)
+    return fetch(out)

@@ -93,6 +93,7 @@ def search(
     component_sz: int = 7,
     mem_gb: float = 0.0,
     koc: bool = False,
+    shard_strategy: str = "genome",
 ) -> str:
     """Full search -> ``<out_dir>/distance.out``; returns its path.
 
@@ -130,11 +131,6 @@ def search(
             "sharedk_ct.dat): abundance-weighted counts are not stored "
             "in the shared-k matrix; rerun the full search with --koc-out"
         )
-    if koc and mesh is not None:
-        raise ValueError(
-            "--koc-out is not supported with --mesh sharded search yet; "
-            "drop --mesh for the abundance-weighted appendix"
-        )
     koc_counts = np.zeros((n_qry, n_ref), dtype=np.uint64) if koc else None
     if shared_kmer_path:
         counts = np.fromfile(skf, dtype="<u4").reshape(n_qry, n_ref)
@@ -162,6 +158,8 @@ def search(
                     qry_dir, comps, comp_code_bits, mesh,
                     batch=query_batch_size(n_qry, n_ref, mem_gb),
                     counts_out=counts,
+                    koc_out=koc_counts,
+                    strategy=shard_strategy,
                 )
                 if isinstance(counts, np.memmap):
                     counts.flush()

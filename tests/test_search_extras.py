@@ -230,16 +230,26 @@ def test_koc_resume_rejected(env, in_dir):
             )
 
 
-def test_koc_mesh_rejected(env, in_dir):
-    """--mesh + --koc-out is unsupported and must say so, not silently
-    drop the weighted appendix."""
+def test_koc_mesh_matches_single_device(env, in_dir):
+    """--mesh + --koc-out: the sharded abundance-weighted appendix must be
+    byte-equal to the single-device path (weighted _count_partial + psum
+    over the ref axis, koc_dist_print_nobin semantics)."""
     import jax
     from jax.sharding import Mesh
 
     with in_dir(env):
-        mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("dp", "ref"))
-        with pytest.raises(ValueError, match="mesh"):
-            search.search("x_ref", "x_koc", "d_mesh_koc", mesh=mesh, koc=True)
+        search.search("x_ref", "x_koc", "d_koc_single", koc=True)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "ref"))
+        search.search("x_ref", "x_koc", "d_koc_mesh", mesh=mesh, koc=True)
+        search.search("x_ref", "x_koc", "d_koc_plain", koc=False)
+        with open(os.path.join("d_koc_single", "distance.out"), "rb") as f:
+            want = f.read()
+        with open(os.path.join("d_koc_mesh", "distance.out"), "rb") as f:
+            got = f.read()
+        with open(os.path.join("d_koc_plain", "distance.out"), "rb") as f:
+            plain = f.read()
+        assert len(want) > len(plain)  # the koc appendix is present
+        assert got == want
 
 
 def test_keepcofile_writes_intermediates(env, in_dir, tmp_path):

@@ -30,22 +30,67 @@ def db7(golden7):
                 pipeline.run_stage1(
                     stat.names, os.path.join(golden7, mdir), params, shuf
                 )
+        # plant ref codes into the query sketches: the fixture genomes
+        # are INDEPENDENT random sequences, so their sketches share ~0
+        # codes and every "shard-merge == oracle" equality would hold
+        # vacuously on all-zero matrices. The planted dir makes these
+        # tests falsifiable; the fixture asserts nonzero hits below.
+        qdir = os.path.join(golden7, "my_qry_hit")
+        if not os.path.isdir(qdir):
+            import dataclasses
+
+            os.makedirs(qdir)
+            qstat = formats.read_co_stat(os.path.join(golden7, "my_qry"))
+            rng = np.random.default_rng(11)
+            per_file = np.zeros(qstat.infile_num, np.uint64)
+            total = 0
+            for c in range(qstat.comp_num):
+                rc, _ri = formats.read_combco(
+                    os.path.join(golden7, "my_ref"), c
+                )
+                qc, qi = formats.read_combco(
+                    os.path.join(golden7, "my_qry"), c
+                )
+                parts, idx = [], [0]
+                for q in range(qstat.infile_num):
+                    sl = qc[int(qi[q]): int(qi[q + 1])].copy()
+                    n_plant = min(sl.size // 2, 200)
+                    if rc.size and n_plant:
+                        sl[:n_plant] = rng.choice(
+                            rc, size=n_plant, replace=False
+                        )
+                    sl = np.unique(sl)  # per-genome set semantics
+                    parts.append(sl)
+                    idx.append(idx[-1] + sl.size)
+                    per_file[q] += sl.size
+                codes = np.concatenate(parts) if parts else np.zeros(0, "<u4")
+                formats.write_combco(
+                    qdir, c, codes, np.array(idx, np.uint64)
+                )
+                total += codes.size
+            formats.write_co_stat(qdir, dataclasses.replace(
+                qstat, ctx_ct=per_file.astype(np.uint32),
+                all_ctx_ct=total,
+            ))
     finally:
         os.chdir(old)
     _, comps = index_mod.sparse_index_from_co(os.path.join(golden7, "my_ref"))
     oracle = search.compute_shared_counts(
-        os.path.join(golden7, "my_qry"), comps, 3, use_device=False
+        os.path.join(golden7, "my_qry_hit"), comps, 3, use_device=False
     )
+    assert oracle.sum() > 0, "planted query dir must actually share codes"
     return golden7, params, comps, oracle
 
 
+@pytest.mark.parametrize("strategy", ["genome", "code"])
 @pytest.mark.parametrize("dp,ref", [(1, 8), (8, 1), (2, 4), (4, 2)])
-def test_sharded_counts_equal_oracle(db7, dp, ref):
+def test_sharded_counts_equal_oracle(db7, dp, ref, strategy):
     root, params, comps, oracle = db7
     devices = np.array(jax.devices()[: dp * ref]).reshape(dp, ref)
     mesh = Mesh(devices, ("dp", "ref"))
     got = sharded_search.sharded_search_counts(
-        os.path.join(root, "my_qry"), comps, params, mesh
+        os.path.join(root, "my_qry_hit"), comps, params, mesh,
+        strategy=strategy,
     )
     np.testing.assert_array_equal(got, oracle)
 
@@ -128,8 +173,9 @@ def test_sharded_search_50k_genome_scale():
           f"on 2x4 cpu mesh ({dt:.2f}s, total_pairs={total_pairs})")
 
 
+@pytest.mark.parametrize("strategy", ["genome", "code"])
 @pytest.mark.parametrize("batch", [1, 3])
-def test_mesh_query_batching_equals_unbatched(db7, batch):
+def test_mesh_query_batching_equals_unbatched(db7, batch, strategy):
     """The -m governor inside the sharded path: per-batch psum counting
     into a caller matrix must equal the single-shot result."""
     root, params, comps, oracle = db7
@@ -137,8 +183,8 @@ def test_mesh_query_batching_equals_unbatched(db7, batch):
     n_qry, n_ref = oracle.shape
     out = np.zeros((n_qry, n_ref), dtype=np.uint32)
     got = sharded_search.sharded_search_counts(
-        os.path.join(root, "my_qry"), comps, params, mesh,
-        batch=batch, counts_out=out,
+        os.path.join(root, "my_qry_hit"), comps, params, mesh,
+        batch=batch, counts_out=out, strategy=strategy,
     )
     assert got is out
     np.testing.assert_array_equal(out, oracle)
@@ -155,13 +201,52 @@ def test_cli_mesh_search_matches_plain(db7, tmp_path):
         if not os.path.isfile(os.path.join("my_ref", formats.MCO_DSTAT)):
             index_mod.run_stage2("my_ref", "my_ref", 7, dense=False)
         rc = cli.main(["dist", "-r", "my_ref", "-o", str(tmp_path / "plain"),
-                       "my_qry"])
+                       "my_qry_hit"])
         assert rc == 0
         rc = cli.main(["dist", "-r", "my_ref", "-o", str(tmp_path / "mesh"),
-                       "--mesh", "2x4", "-m", "1", "my_qry"])
+                       "--mesh", "2x4", "-m", "1", "my_qry_hit"])
         assert rc == 0
         with open(tmp_path / "plain" / "distance.out") as a, \
              open(tmp_path / "mesh" / "distance.out") as b:
             assert a.read() == b.read()
     finally:
         os.chdir(old)
+
+
+@pytest.mark.parametrize("dp,ref,strategy",
+                         [(2, 4, "genome"), (4, 2, "code")])
+def test_sharded_koc_counts_equal_oracle(db7, dp, ref, strategy, tmp_path):
+    """Weighted (koc) sharded counting: psum-merged uint64 abundance
+    sums must equal the single-device count_shared_weighted oracle."""
+    root, params, comps, _ = db7
+    # clone the PLANTED query dir into a koc dir with synthetic .a
+    # abundances (the unplanted fixture shares zero codes with the DB)
+    src = os.path.join(root, "my_qry_hit")
+    stat = formats.read_co_stat(src)
+    koc_dir = str(tmp_path / "koc_qry")
+    os.makedirs(koc_dir)
+    rng = np.random.default_rng(3)
+    for c in range(stat.comp_num):
+        codes, idx = formats.read_combco(src, c)
+        ab = rng.integers(1, 500, size=codes.size).astype(np.uint16)
+        formats.write_combco(koc_dir, c, codes, idx, ab)
+    import dataclasses
+
+    formats.write_co_stat(koc_dir, dataclasses.replace(stat, koc=True))
+
+    n_qry, n_ref = stat.infile_num, comps[0].n_genomes
+    counts_want = np.zeros((n_qry, n_ref), np.uint32)
+    koc_want = np.zeros((n_qry, n_ref), np.uint64)
+    counts_want = search.compute_shared_counts(
+        koc_dir, comps, n_qry, use_device=False, koc_out=koc_want
+    )
+
+    mesh = Mesh(np.array(jax.devices()[: dp * ref]).reshape(dp, ref),
+                ("dp", "ref"))
+    koc_got = np.zeros((n_qry, n_ref), np.uint64)
+    counts_got = sharded_search.sharded_search_counts(
+        koc_dir, comps, params, mesh, koc_out=koc_got, strategy=strategy,
+    )
+    np.testing.assert_array_equal(counts_got, counts_want)
+    np.testing.assert_array_equal(koc_got, koc_want)
+    assert koc_want.sum() > 0 and counts_want.sum() > 0
