@@ -224,11 +224,15 @@ def bench_gtdb() -> None:
     _, comps = index_mod.load_sparse_index(ref)
     sp = comps[0]
     t_load = time.perf_counter() - t0
-    db_gb = (sp.uniq_codes.nbytes + sp.offsets.nbytes + sp.gids.nbytes) / 1e9
     t0 = time.perf_counter()
-    for a in count_ops._device_index(sp):
+    dev_arrays = count_ops._device_index(sp)
+    for a in dev_arrays:
         a.block_until_ready()
     t_upload = time.perf_counter() - t0
+    # HBM residency at device dtypes (offsets downcast to uint32 when
+    # the postings total allows — ops/count._device_index)
+    db_gb = sum(a.nbytes for a in dev_arrays) / 1e9
+    del dev_arrays
 
     # -m-governed counting (disk-backed matrix), one warm + one timed
     skf = os.path.join(GTDB_DIR, "sharedk_ct.dat")
@@ -271,31 +275,22 @@ def bench_gtdb() -> None:
         "checksum": int(np.asarray(counts[:4]).sum()),
     })
 
-    # free the search index's device residency BEFORE composite uploads
-    # its own 3.3 GB — both resident at once exhausts a 16 GB chip
-    # (observed: TPU worker crash)
-    import gc
-
+    # composite over the same DB through the CSR join, SHARING the
+    # search path's device-resident index (ops.count._device_index):
+    # zero additional upload or HBM — the round-3 design re-staged raw
+    # combco + a rid_of array (+5 GB host RSS) and re-uploaded 3.3 GB
+    # through the ~50 MB/s tunnel (282 s wall, 23 GB peak RSS)
     del counts
-    if hasattr(sp, "_dev_arrays"):
-        del sp._dev_arrays
-    del sp, comps
-    gc.collect()
-
-    # composite over the same DB: ONE cold batched call (the device path
-    # joins the whole query batch in one chunked DB pass, so wall is
-    # ~constant in n_koc and dominated by the 1.65 GB DB upload through
-    # the device tunnel; compiles come from the persistent cache)
     t0 = time.perf_counter()
-    rep = composite.species_abundance(ref, koc, device=True)
+    rep = composite.species_abundance(ref, koc, ref_components=comps)
     t_comp = time.perf_counter() - t0
     _emit({
         "metric": "gtdb317k_composite_batch_wall_s",
         "value": round(t_comp, 1),
         "unit": f"seconds for {n_koc} koc queries vs {n_ref} refs x {sk} "
-                "codes, cold: disk read + DB upload + ONE batched "
-                "chunked device join + stats (wall ~constant in query "
-                "count)",
+                "codes via the CSR join sharing the search path's "
+                "resident device index (zero extra upload; wall "
+                "~constant in query count)",
         "queries_per_s": round(n_koc / t_comp, 3),
         "report_rows": rep.count("\n"),
         "peak_rss_gb": _rss_gb(),

@@ -189,3 +189,46 @@ def test_hit_key_width_guard():
     composite._check_key_width(16 + 20, 1000)  # fits: no raise
     with pytest.raises(ValueError, match="hit-key overflow"):
         composite._check_key_width(16 + 33, 1 << 30)
+
+
+def test_csr_join_matches_host(tmp_path):
+    """The inverted-index (CSR) composite join — the path that shares
+    search's device residency — must produce the identical report."""
+    from public_kssd_tpu import index as index_mod
+
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=40, sk=64, n_qry=3, seed=3)
+    want = composite.species_abundance(ref_dir, qry_dir, device=False)
+    stat = formats.read_co_stat(ref_dir)
+    codes, idx = formats.read_combco(ref_dir, 0)
+    sp = index_mod.build_component_index(codes, idx, stat.infile_num)
+    got = composite.species_abundance(
+        ref_dir, qry_dir, ref_components=[sp]
+    )
+    assert got == want and want
+
+
+def test_csr_sidecar_autoload(tmp_path):
+    """A ref dir carrying the stage II CSR sidecar auto-routes the
+    device join through the index (same report)."""
+    from public_kssd_tpu import index as index_mod
+
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=24, sk=48, n_qry=2, seed=4)
+    want = composite.species_abundance(ref_dir, qry_dir, device=False)
+    index_mod.run_stage2(ref_dir, ref_dir, 7, dense=False)
+    got = composite.species_abundance(ref_dir, qry_dir)
+    assert got == want and want
+
+
+def test_csr_join_chunk_tail(tmp_path, monkeypatch):
+    """nnz not a multiple of JOIN_CHUNK: the padded tail chunk must join
+    nothing extra (chunking exercised with a tiny JOIN_CHUNK)."""
+    from public_kssd_tpu import index as index_mod
+
+    monkeypatch.setattr(composite, "JOIN_CHUNK", 1 << 10)
+    ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=40, sk=64, n_qry=2, seed=5)
+    want = composite.species_abundance(ref_dir, qry_dir, device=False)
+    stat = formats.read_co_stat(ref_dir)
+    codes, idx = formats.read_combco(ref_dir, 0)
+    sp = index_mod.build_component_index(codes, idx, stat.infile_num)
+    got = composite.species_abundance(ref_dir, qry_dir, ref_components=[sp])
+    assert got == want and want
