@@ -194,6 +194,123 @@ def bench_counting(n_qry: int = 1000, n_ref: int = 10_000) -> None:
     })
 
 
+HBM_PEAK = 8.1e11  # bytes/s, v5e (public scaling-book figure)
+MXU_PEAK_BF16 = 1.97e14  # flops/s, v5e bf16
+
+
+def bench_counting_roofline() -> None:
+    """Counting-kernel speed-of-light study (VERDICT r3 #6).
+
+    (a) DEVICE-ONLY expansion-kernel time via pipelined dispatches (the
+        tunnel's ~26 ms dispatch latency and the count-matrix fetch are
+        excluded by the K=2 vs K=10 slope), then a minimum-traffic HBM
+        model: capacity x (4 B gids gather + 8 B scatter RMW) + count
+        matrix touch (8 B/cell) + query lookup (16 B/code). Achieved
+        fraction-of-peak = modeled bytes / device time / HBM_PEAK.
+    (b) MXU one-hot matmul alternative vs the expansion kernel at small
+        n_ref (128/512/2048) to locate the crossover.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.ops import count as count_ops
+
+    sk, n_ref, n_qry = 1300, 10_000, 1000
+    sp, qry = _synth_csr(n_ref, sk, 42)
+    qry = qry[: n_qry * sk]
+    qidx = np.arange(n_qry + 1, dtype=np.uint64) * sk
+    counts = count_ops.count_shared(qry, qidx, sp, n_qry, True)  # warm
+    matched = int(counts.sum())
+    capacity = 1 << int(max(matched - 1, 1)).bit_length()
+
+    qid_of = np.searchsorted(
+        qidx[1:], np.arange(qry.size, dtype=np.uint64), "right"
+    ).astype(np.int32)
+    L = 1 << max(int(qry.size - 1).bit_length(), 6)
+    qc = np.zeros(L, dtype=np.uint32)
+    qc[: qry.size] = qry
+    qq = np.full(L, -1, dtype=np.int32)
+    qq[: qry.size] = qid_of
+    uniq, offs, g = count_ops._device_index(sp)
+    qc_d, qq_d = jnp.asarray(qc), jnp.asarray(qq)
+
+    def wall(K):
+        outs = [
+            count_ops.count_shared_device(
+                qc_d, qq_d, uniq, offs, g,
+                n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+            )
+            for _ in range(K)
+        ]
+        t0 = time.perf_counter()
+        # single device stream: the last completing implies all did
+        jax.block_until_ready(outs[-1])
+        return time.perf_counter() - t0
+
+    wall(2)  # compile+warm at this capacity
+    best = math.inf
+    for _ in range(3):
+        w2, w10 = wall(2), wall(10)
+        best = min(best, max((w10 - w2) / 8, 0.0))
+    dev_s = best if best > 1e-5 else None
+    model_bytes = capacity * 12 + n_qry * n_ref * 8 + L * 16
+    out = {
+        "metric": "counting_kernel_roofline",
+        "value": (
+            round(matched / dev_s, 1) if dev_s else None
+        ),
+        "unit": "matched code-pairs/s, device-only expansion kernel "
+                f"({n_qry} qry x {n_ref} ref, capacity {capacity}, "
+                "dispatch latency + fetch excluded via K-chain slope)",
+        "device_s_per_call": round(dev_s, 5) if dev_s else None,
+        "modeled_min_hbm_bytes": model_bytes,
+        "achieved_GBps_model": (
+            round(model_bytes / dev_s / 1e9, 1) if dev_s else None
+        ),
+        "fraction_of_hbm_peak": (
+            round(model_bytes / dev_s / HBM_PEAK, 3) if dev_s else None
+        ),
+    }
+
+    # (b) matmul-vs-expansion crossover at small n_ref (sk shrunk so the
+    # one-hot operands stay well inside the budget at every size)
+    crossover = {}
+    skx = 256
+    for nr in (128, 512, 1024):
+        rng = np.random.default_rng(nr)
+        ref = rng.integers(0, 1 << 28, size=(nr, skx), dtype=np.uint64)
+        spx = index_mod.build_component_index(
+            np.sort(ref, axis=1).ravel().astype(np.uint32),
+            np.arange(nr + 1, dtype=np.uint64) * skx, nr)
+        nq = 256
+        q2 = rng.integers(0, 1 << 28, size=nq * skx, dtype=np.uint64)
+        hit = rng.random(q2.size) < 0.3
+        q2[hit] = ref.ravel()[rng.integers(0, ref.size, size=int(hit.sum()))]
+        q2 = q2.astype(np.uint32)
+        qx = np.arange(nq + 1, dtype=np.uint64) * skx
+        t_exp = t_mm = math.inf
+        count_ops.count_shared(q2, qx, spx, nq, True)
+        a = count_ops.count_shared_matmul(q2, qx, spx, nq)
+        b = count_ops.count_shared(q2, qx, spx, nq, True)
+        assert np.array_equal(a, b), "matmul != expansion counts"
+        for _ in range(3):
+            t0 = time.perf_counter()
+            count_ops.count_shared(q2, qx, spx, nq, True)
+            t_exp = min(t_exp, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            count_ops.count_shared_matmul(q2, qx, spx, nq)
+            t_mm = min(t_mm, time.perf_counter() - t0)
+        flops = 2 * nq * spx.uniq_codes.size * nr
+        crossover[str(nr)] = {
+            "expansion_s": round(t_exp, 4),
+            "matmul_s": round(t_mm, 4),
+            "matmul_model_s_at_peak": round(flops / MXU_PEAK_BF16, 5),
+        }
+    out["matmul_crossover_by_n_ref"] = crossover
+    _emit(out)
+
+
 def bench_gtdb() -> None:
     """The 317k-genome GTDB flagship through the on-disk artifact path."""
     import jax
@@ -688,6 +805,35 @@ def bench_sketch_breakdown(paths, params, shuffled_dev) -> None:
     })
 
 
+_HEADLINE_CHILD = textwrap.dedent("""
+    # fresh-process headline measurement: argv = repo data_dir n_timed
+    # (the parent must NOT have initialised the TPU backend yet — the
+    # chip is exclusive and a second client blocks)
+    import json, os, sys
+    repo, data_dir, n_timed = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "kssd_tpu_jax_cache"))
+    sys.path.insert(0, repo)
+    import public_kssd_tpu  # noqa: F401
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    import bench
+    from public_kssd_tpu import shufspace
+    from public_kssd_tpu.config import SketchParams
+    params = SketchParams(id=1, half_ctx_len=10, half_subctx_len=6,
+                          drlevel=3)
+    shuffled = shufspace.ComputedShuf(params.id, params.half_subctx_len)
+    paths = bench._make_data()[2 : 2 + n_timed]  # same set as the parent
+    v = bench._sketch_run(paths, params, shuffled, False)
+    vc = bench._sketch_run(paths, params, shuffled, True)
+    print(json.dumps({"genomes_per_s": v, "compat_genomes_per_s": vc,
+                      "backend": jax.default_backend()}))
+""")
+
+
 def _sketch_run(paths, params, shuffled_dev, compat: bool) -> float:
     """Best-of-3 pipelined genomes/s for one dedup mode."""
     from public_kssd_tpu import hashdedup, pipeline
@@ -720,6 +866,56 @@ def main() -> None:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "kssd_tpu_jax_cache"),
     )
+
+    # HEADLINE FIRST, in FRESH SUBPROCESSES, before this process touches
+    # the (exclusive) TPU: best-of-2 fresh processes x best-of-3 in-
+    # process runs — the same stabilisation treatment bench_scaling got
+    # (round-3 regression turned out to be single-process tunnel luck:
+    # r2 19.4 vs r3 16.4 on identical code paths). Each child warms from
+    # the persistent compile cache. Every line EMITS as soon as it is
+    # measured (a driver timeout mid-run must not lose finished
+    # sections), and the headline is re-emitted at the very end (driver
+    # contract: LAST line wins).
+    paths = _make_data()
+    headline: list[dict] = []
+
+    def measure_headline_fresh():
+        script = os.path.join(DATA_DIR, "headline_child.py")
+        with open(script, "w") as f:
+            f.write(_HEADLINE_CHILD)
+        runs = []
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, script, REPO, DATA_DIR, str(N_TIMED)],
+                env=os.environ.copy(), capture_output=True, text=True,
+                timeout=1800,
+            )
+            if out.returncode != 0:
+                raise RuntimeError(out.stderr[-1500:])
+            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        v = max(r["genomes_per_s"] for r in runs)
+        vc = max(r["compat_genomes_per_s"] for r in runs)
+        headline.append({
+            "metric": "genomes_sketched_per_s_per_chip",
+            "value": round(v, 3),
+            "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3; best of 2 "
+                    "fresh processes x best-of-3 runs)",
+            "vs_baseline": round(v / BASELINE_GENOMES_PER_S, 3),
+            "runs": [round(r["genomes_per_s"], 3) for r in runs],
+            "backend": runs[0]["backend"],
+        })
+        _emit(headline[0])
+        _emit({
+            "metric": "genomes_sketched_per_s_per_chip_default_compat",
+            "value": round(vc, 3),
+            "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3, DEFAULT "
+                    "compat-order host dedup — byte-identical sketch "
+                    "files; best of 2 fresh processes)",
+            "runs": [round(r["compat_genomes_per_s"], 3) for r in runs],
+        })
+
+    _guard("genomes_sketched_per_s_per_chip", measure_headline_fresh)
+
     import public_kssd_tpu  # noqa: F401
     import jax
 
@@ -739,36 +935,7 @@ def main() -> None:
         assert_pallas_correct(params, shuffled_dev)
         print("pallas-vs-jnp equality on TPU: OK", file=sys.stderr)
 
-    # the sketch numbers are measured FIRST — a later heavy section that
-    # crashes the TPU worker (observed once at GTDB scale) must not cost
-    # the headline. Every line EMITS as soon as it is measured (a driver
-    # timeout mid-run must not lose finished sections), and the headline
-    # is re-emitted at the very end (driver contract: LAST line wins).
-    paths = _make_data()
     timed = paths[2 : 2 + N_TIMED]
-    headline: list[dict] = []
-
-    def measure_headline():
-        v = _sketch_run(timed, params, shuffled_dev, False)
-        headline.append({
-            "metric": "genomes_sketched_per_s_per_chip",
-            "value": round(v, 3),
-            "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3)",
-            "vs_baseline": round(v / BASELINE_GENOMES_PER_S, 3),
-        })
-        _emit(headline[0])
-
-    def measure_default():
-        v = _sketch_run(timed, params, shuffled_dev, True)
-        _emit({
-            "metric": "genomes_sketched_per_s_per_chip_default_compat",
-            "value": round(v, 3),
-            "unit": "genomes/s (5.3Mb gz fasta, k=10 s=6 l=3, DEFAULT "
-                    "compat-order host dedup — byte-identical sketch files)",
-        })
-
-    _guard("genomes_sketched_per_s_per_chip", measure_headline)
-    _guard("genomes_default_path", measure_default)
     _guard(
         "sketch_stage_breakdown",
         lambda: bench_sketch_breakdown(timed, params, shuffled_dev),
@@ -779,6 +946,7 @@ def main() -> None:
         "sketch_pairs_per_s_per_chip_100k",
         lambda: bench_counting(n_qry=1000, n_ref=100_000),
     )
+    _guard("counting_roofline", bench_counting_roofline)
     _guard("gtdb317k", bench_gtdb)
     _guard("scaling_proxies", bench_scaling)
 

@@ -96,9 +96,11 @@ def _batched_join_impl(
     """
     import jax.numpy as jnp
 
+    from public_kssd_tpu.ops.count import rank_into
+
     Q = sq.shape[0]
-    pos_l = jnp.searchsorted(sq, ref_codes, side="left")
-    pos_r = jnp.searchsorted(sq, ref_codes, side="right")
+    pos_l = jnp.searchsorted(sq, ref_codes, side="left", method="sort")
+    pos_r = jnp.searchsorted(sq, ref_codes, side="right", method="sort")
     # int32 expansion cumsum (the int64 variant adds 268 MB of HBM
     # transient per 2^26-chunk); a whole-batch hit count past 2^31 would
     # wrap it, so the TRUE total is also reduced in int64 — the host's
@@ -112,7 +114,7 @@ def _batched_join_impl(
     cum = jnp.cumsum(length)
     total = jnp.sum(length.astype(jnp.int64))
     t = jnp.arange(cap, dtype=jnp.int32)
-    src = jnp.searchsorted(cum, t, side="right")
+    src = rank_into(cum, cap)
     src_c = jnp.clip(src, 0, length.shape[0] - 1)
     prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
     idx = jnp.clip(pos_l[src_c] + (t - prev), 0, Q - 1)
@@ -169,9 +171,11 @@ def _csr_join_impl(
     """
     import jax.numpy as jnp
 
+    from public_kssd_tpu.ops.count import rank_into
+
     Q = sq.shape[0]
-    pos_l = jnp.searchsorted(sq, uniq, side="left")
-    pos_r = jnp.searchsorted(sq, uniq, side="right")
+    pos_l = jnp.searchsorted(sq, uniq, side="left", method="sort")
+    pos_r = jnp.searchsorted(sq, uniq, side="right", method="sort")
     nq = (pos_r - pos_l).astype(jnp.int64)
     plen = (offs[1:] - offs[:-1]).astype(jnp.int64)
     # int32 expansion cumsum (HBM transient thrift, see
@@ -181,7 +185,7 @@ def _csr_join_impl(
     cum = jnp.cumsum(length32)
     total = jnp.sum(nq * plen)
     t = jnp.arange(cap, dtype=jnp.int32)
-    src = jnp.searchsorted(cum, t, side="right")
+    src = rank_into(cum, cap)
     src_c = jnp.clip(src, 0, length32.shape[0] - 1)
     prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
     within = (t - prev).astype(jnp.int64)

@@ -32,14 +32,36 @@ import numpy as np
 def _match_lengths(
     qry_codes, qry_qid, uniq_codes, offsets, n_ref: int
 ):
-    """Stage 1: per query-occurrence postings range (start, len)."""
+    """Stage 1: per query-occurrence postings range (start, len).
+
+    method='sort' matters: the default scan-method searchsorted does
+    log2(nnz) dependent HBM gathers per query code, which measured as
+    ~60% of the whole counting kernel on a v5e (879 ms for 2^21 codes
+    into a 12.9M-row DB vs 191 ms for the sort method's one fused sort).
+    """
     nnz = uniq_codes.shape[0]
-    row = jnp.searchsorted(uniq_codes, qry_codes)
+    row = jnp.searchsorted(uniq_codes, qry_codes, method="sort")
     row_c = jnp.clip(row, 0, max(nnz - 1, 0))
     found = (row < nnz) & (uniq_codes[row_c] == qry_codes) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)
     length = jnp.where(found, offsets[row_c + 1] - offsets[row_c], 0)
     return start, length
+
+
+def rank_into(cum, capacity: int):
+    """``searchsorted(cum, arange(capacity), side='right')`` for a
+    sorted non-negative array, as one scatter + cumsum.
+
+    The expansion step of every counting/join kernel ranks the slot ids
+    0..capacity-1 into the cumulative-length array; since the probes ARE
+    arange, the binary search (capacity x log2(n) dependent gathers)
+    collapses to a histogram of ``cum`` clipped at ``capacity`` followed
+    by an inclusive cumsum — measured ~10x faster on a v5e at the
+    flagship shapes.
+    """
+    hist = jnp.zeros((capacity + 1,), jnp.int32)
+    hist = hist.at[jnp.clip(cum, 0, capacity).astype(jnp.int32)].add(1)
+    return jnp.cumsum(hist[:capacity])
 
 
 def count_shared_np(
@@ -109,7 +131,7 @@ def count_shared_device(
     cum = jnp.cumsum(length.astype(jnp.int64))
     total = cum[-1]
     t = jnp.arange(capacity, dtype=jnp.int64)
-    src = jnp.searchsorted(cum, t, side="right")
+    src = rank_into(cum, capacity)
     src_c = jnp.clip(src, 0, length.shape[0] - 1)
     prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
     off = t - prev
@@ -144,7 +166,7 @@ def count_shared_weighted_device(
     cum = jnp.cumsum(length.astype(jnp.int64))
     total = cum[-1]
     t = jnp.arange(capacity, dtype=jnp.int64)
-    src = jnp.searchsorted(cum, t, side="right")
+    src = rank_into(cum, capacity)
     src_c = jnp.clip(src, 0, length.shape[0] - 1)
     prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
     off = t - prev
@@ -267,6 +289,74 @@ def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
         getattr(sparse_index, "_pair_density", 0.0), total / max(n_codes, 1)
     )
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_qry", "n_ref", "nnz"))
+def _count_matmul_device(
+    qry_rows, qry_qid, post_rows, post_gids, *,
+    n_qry: int, n_ref: int, nnz: int,
+):
+    """One-hot MXU formulation of shared-k counting:
+    counts = Q[n_qry, nnz] @ M[nnz, n_ref], both one-hot bf16.
+
+    Q[q, i] = #occurrences of unique code i in query q; M[i, r] = 1 iff
+    genome r contains code i. bf16 one-hot entries and f32 accumulation
+    are exact for the count magnitudes involved (< 2^24). Work is
+    n_qry*nnz*n_ref MACs regardless of match density, vs the expansion
+    kernel's O(matched pairs) — so this only wins where the MXU's ~40x
+    flops advantage over VPU scatter beats the density ratio (small
+    n_ref, dense hits). bench.py measures the crossover; see README's
+    counting-roofline section.
+
+    ``qry_rows`` carry nnz (out of range -> dropped) for unmatched
+    codes; ``post_rows``/``post_gids`` are the CSR expanded to
+    (row, genome) pairs.
+    """
+    q = jnp.zeros((n_qry, nnz), jnp.bfloat16)
+    q = q.at[qry_qid, qry_rows].add(jnp.bfloat16(1), mode="drop")
+    m = jnp.zeros((nnz, n_ref), jnp.bfloat16)
+    m = m.at[post_rows, post_gids].add(jnp.bfloat16(1), mode="drop")
+    out = jnp.dot(q, m, preferred_element_type=jnp.float32)
+    return out.astype(jnp.uint32)
+
+
+# one-hot operand budget for the matmul path (bf16 bytes of Q + M); the
+# expansion kernel takes over above it
+MATMUL_BYTES_BUDGET = 2 << 30
+
+
+def count_shared_matmul(
+    qry_codes: np.ndarray,
+    qry_index: np.ndarray,
+    sparse_index,
+    n_qry: int,
+) -> np.ndarray:
+    """MXU (matmul) counting for the small-n_ref regime; identical
+    counts to count_shared. Raises ValueError when the one-hot operands
+    exceed MATMUL_BYTES_BUDGET (use count_shared there)."""
+    n_ref = sparse_index.n_genomes
+    nnz = sparse_index.uniq_codes.size
+    ops_bytes = 2 * (n_qry * nnz + nnz * n_ref)
+    if ops_bytes > MATMUL_BYTES_BUDGET:
+        raise ValueError(
+            f"one-hot operands {ops_bytes / 1e9:.1f} GB exceed the matmul "
+            "budget; use count_shared (expansion kernel)"
+        )
+    qid_of = np.searchsorted(
+        qry_index[1:], np.arange(qry_codes.size, dtype=np.uint64), "right"
+    ).astype(np.int32)
+    row = np.searchsorted(sparse_index.uniq_codes, qry_codes)
+    row_c = np.clip(row, 0, max(nnz - 1, 0))
+    found = (row < nnz) & (sparse_index.uniq_codes[row_c] == qry_codes)
+    rows = np.where(found, row_c, nnz).astype(np.int32)  # nnz -> dropped
+    lens = np.diff(sparse_index.offsets).astype(np.int64)
+    post_rows = np.repeat(np.arange(nnz, dtype=np.int32), lens)
+    out = _count_matmul_device(
+        jnp.asarray(rows), jnp.asarray(qid_of),
+        jnp.asarray(post_rows), jnp.asarray(sparse_index.gids.astype(np.int32)),
+        n_qry=n_qry, n_ref=n_ref, nnz=nnz,
+    )
+    return np.asarray(out)
 
 
 def count_shared(

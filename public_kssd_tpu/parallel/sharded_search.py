@@ -221,8 +221,10 @@ def build_genome_sharded_db(
 def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacity):
     """Per-shard counting (same algorithm as ops.count.count_shared_device,
     on uint64 keys). All inputs are the LOCAL shard block."""
+    from public_kssd_tpu.ops.count import rank_into
+
     nnz = uniq.shape[0]
-    row = jnp.searchsorted(uniq, qry_keys)
+    row = jnp.searchsorted(uniq, qry_keys, method="sort")
     row_c = jnp.clip(row, 0, nnz - 1)
     found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)
@@ -230,7 +232,7 @@ def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacit
     cum = jnp.cumsum(length)
     total = cum[-1]
     t = jnp.arange(capacity, dtype=jnp.int64)
-    src = jnp.searchsorted(cum, t, side="right")
+    src = rank_into(cum, capacity)
     src_c = jnp.clip(src, 0, length.shape[0] - 1)
     prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
     pos = jnp.clip(start[src_c] + (t - prev), 0, gids.shape[0] - 1)
@@ -251,8 +253,10 @@ def _count_partial_weighted(
     command_dist.c:1080-1160; single-device twin
     ops.count.count_shared_weighted_device). Returns uint64 so deep
     postings cannot wrap; the psum stays exact in x64 mode."""
+    from public_kssd_tpu.ops.count import rank_into
+
     nnz = uniq.shape[0]
-    row = jnp.searchsorted(uniq, qry_keys)
+    row = jnp.searchsorted(uniq, qry_keys, method="sort")
     row_c = jnp.clip(row, 0, nnz - 1)
     found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)
@@ -260,7 +264,7 @@ def _count_partial_weighted(
     cum = jnp.cumsum(length)
     total = cum[-1]
     t = jnp.arange(capacity, dtype=jnp.int64)
-    src = jnp.searchsorted(cum, t, side="right")
+    src = rank_into(cum, capacity)
     src_c = jnp.clip(src, 0, length.shape[0] - 1)
     prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
     pos = jnp.clip(start[src_c] + (t - prev), 0, gids.shape[0] - 1)

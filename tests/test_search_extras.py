@@ -300,3 +300,34 @@ def test_koc_line_matches_handcomputed_fixture():
 def test_full_line_matches_handcomputed_fixture():
     got = stats_ops.format_full_pair_line("q", "r", 200, 150, 40, 20, 6, 7, 2)
     assert got == FULL_FIXTURE
+
+
+def test_count_matmul_matches_expansion():
+    """The MXU one-hot matmul counting path (small-n_ref regime) must
+    equal the numpy oracle exactly."""
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.ops import count as count_ops
+
+    rng = np.random.default_rng(8)
+    n_ref, sk, n_qry, space = 64, 128, 16, 1 << 16
+    ref = rng.integers(0, space, size=(n_ref, sk), dtype=np.uint64)
+    sp = index_mod.build_component_index(
+        np.sort(ref, axis=1).ravel().astype(np.uint32),
+        np.arange(n_ref + 1, dtype=np.uint64) * sk, n_ref)
+    qry = rng.integers(0, space, size=n_qry * sk, dtype=np.uint64)
+    hit = rng.random(qry.size) < 0.5
+    qry[hit] = ref.ravel()[rng.integers(0, ref.size, size=int(hit.sum()))]
+    qry = qry.astype(np.uint32)
+    qidx = np.arange(n_qry + 1, dtype=np.uint64) * sk
+    want = count_ops.count_shared_np(
+        qry, qidx, sp.uniq_codes, sp.offsets, sp.gids, n_qry, n_ref)
+    got = count_ops.count_shared_matmul(qry, qidx, sp, n_qry)
+    np.testing.assert_array_equal(got, want)
+    assert want.sum() > 0
+
+    with pytest.raises(ValueError, match="budget"):
+        big = index_mod.SparseIndex(
+            uniq_codes=np.zeros(1 << 20, np.uint32),
+            offsets=np.zeros((1 << 20) + 1, np.uint64),
+            gids=np.zeros(1, np.uint32), n_genomes=1 << 20)
+        count_ops.count_shared_matmul(qry, qidx, big, 1 << 12)
