@@ -2,28 +2,33 @@
 
 Sections (each emits one JSON line; the LAST line is the headline):
 
-  1. TPU correctness gate: the Pallas sketch kernel must agree with the
+  1. HEADLINE FIRST: end-to-end genomes sketched/s from gzipped fasta on
+     disk (BASELINE.md stage-I config: 10 x ~5.3 Mb, k=10/s=6/l=3 -> 6
+     genomes/s on a 64-vCPU x86 reference box), measured in best-of-2
+     FRESH SUBPROCESSES before this process opens the exclusive TPU,
+     for both the TPU-native sorted dedup and the DEFAULT byte-parity
+     compat-order dedup.
+  2. TPU correctness gate: the Pallas sketch kernel must agree with the
      jnp path on the real chip (Mosaic lowering quirks do not reproduce
-     in interpret mode — see ops/pallas_sketch.py).
-  2. Pair counting at TWO DB sizes: 10k refs (13M postings) and 100k
+     in interpret mode — see ops/pallas_sketch.py), then the sketch
+     stage breakdown (parse / pack+upload+kernel / dedup, unpipelined)
+     + measured tunnel bandwidth + raw kernel Gbases/s.
+  3. Pair counting at TWO DB sizes: 10k refs (13M postings) and 100k
      refs (130M postings), with the capacity-learning first call timed
      separately from steady state (the search hot loop,
-     command_dist.c:779-784).
-  3. GTDB-317k flagship THROUGH THE ON-DISK ARTIFACTS (SURVEY C17):
+     command_dist.c:779-784); then the counting-kernel ROOFLINE study
+     (device-only K-chain timing, min-HBM-traffic model, MXU matmul
+     crossover).
+  4. GTDB-317k flagship THROUGH THE ON-DISK ARTIFACTS (SURVEY C17):
      synthetic 317k-genome x ~1,300-code DB -> combco -> stage II CSR
      sidecar -> load_sparse_index -> -m-governed counting on the chip ->
-     top-N statistics, plus device composite. Reports pairs/s, peak
-     host RSS and DB HBM bytes.
-  4. Scaling proxies on CPU subprocesses (ratios only, stated as such):
-     sharded-search wall at 1 vs 8 virtual devices, and 1- vs 2-process
-     jax.distributed sketching.
-  5. Sketch stage breakdown (parse / pack+upload+kernel / dedup,
-     unpipelined) + measured tunnel bandwidth + the DEFAULT
-     (compat-order dedup) genomes/s.
-  6. HEADLINE: end-to-end genomes sketched/s from gzipped fasta on disk
-     with the TPU-native sorted dedup — the BASELINE.md stage-I config
-     (20 x ~5.3 Mb, k=10/s=6/l=3 -> 6 genomes/s on a 64-vCPU x86
-     reference box).
+     top-N statistics, plus composite via the CSR join SHARING the
+     search index's device residency. Reports pairs/s, peak host RSS
+     and DB HBM bytes.
+  5. WEAK-scaling study on CPU subprocesses (fixed per-device DB shard):
+     per-step process-CPU inflation + all-reduce bytes from the
+     compiled HLO for BOTH sharding strategies, and 1- vs 2-process
+     jax.distributed sketching with total-CPU inflation.
 """
 
 from __future__ import annotations

@@ -96,11 +96,12 @@ def _batched_join_impl(
     """
     import jax.numpy as jnp
 
-    from public_kssd_tpu.ops.count import rank_into
+    from public_kssd_tpu.ops.count import lookup_method, rank_into
 
     Q = sq.shape[0]
-    pos_l = jnp.searchsorted(sq, ref_codes, side="left", method="sort")
-    pos_r = jnp.searchsorted(sq, ref_codes, side="right", method="sort")
+    mth = lookup_method(ref_codes.shape[0], Q)
+    pos_l = jnp.searchsorted(sq, ref_codes, side="left", method=mth)
+    pos_r = jnp.searchsorted(sq, ref_codes, side="right", method=mth)
     # int32 expansion cumsum (the int64 variant adds 268 MB of HBM
     # transient per 2^26-chunk); a whole-batch hit count past 2^31 would
     # wrap it, so the TRUE total is also reduced in int64 — the host's
@@ -171,11 +172,12 @@ def _csr_join_impl(
     """
     import jax.numpy as jnp
 
-    from public_kssd_tpu.ops.count import rank_into
+    from public_kssd_tpu.ops.count import lookup_method, rank_into
 
     Q = sq.shape[0]
-    pos_l = jnp.searchsorted(sq, uniq, side="left", method="sort")
-    pos_r = jnp.searchsorted(sq, uniq, side="right", method="sort")
+    mth = lookup_method(uniq.shape[0], Q)
+    pos_l = jnp.searchsorted(sq, uniq, side="left", method=mth)
+    pos_r = jnp.searchsorted(sq, uniq, side="right", method=mth)
     nq = (pos_r - pos_l).astype(jnp.int64)
     plen = (offs[1:] - offs[:-1]).astype(jnp.int64)
     # int32 expansion cumsum (HBM transient thrift, see

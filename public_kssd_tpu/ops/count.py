@@ -28,19 +28,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def lookup_method(n_probes: int, n_array: int) -> str:
+    """searchsorted method by STATIC shapes: the scan method does
+    log2(n_array) dependent HBM gathers per probe (measured 879 ms for
+    2^21 probes into a 12.9M-row DB on a v5e); the sort method pays one
+    fused sort of n_array + n_probes (191 ms there) — a win when probes
+    are plentiful, but a loss when few probes face a huge array (GTDB:
+    131k probes into 268M rows re-sorted the whole DB every batch and
+    HALVED search throughput). Crossover modeled as probes*32 vs array.
+    """
+    return "sort" if 32 * n_probes >= n_array else "scan"
+
+
 @functools.partial(jax.jit, static_argnames=("n_ref",))
 def _match_lengths(
     qry_codes, qry_qid, uniq_codes, offsets, n_ref: int
 ):
     """Stage 1: per query-occurrence postings range (start, len).
 
-    method='sort' matters: the default scan-method searchsorted does
-    log2(nnz) dependent HBM gathers per query code, which measured as
-    ~60% of the whole counting kernel on a v5e (879 ms for 2^21 codes
-    into a 12.9M-row DB vs 191 ms for the sort method's one fused sort).
+    The searchsorted method is chosen adaptively from the static shapes
+    (see lookup_method) — this lookup measured as ~60% of the whole
+    counting kernel on a v5e under the default scan method.
     """
     nnz = uniq_codes.shape[0]
-    row = jnp.searchsorted(uniq_codes, qry_codes, method="sort")
+    row = jnp.searchsorted(
+        uniq_codes, qry_codes,
+        method=lookup_method(qry_codes.shape[0], nnz),
+    )
     row_c = jnp.clip(row, 0, max(nnz - 1, 0))
     found = (row < nnz) & (uniq_codes[row_c] == qry_codes) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)

@@ -62,6 +62,19 @@ def supported(params: SketchParams) -> bool:
     return params.drtuple_bits <= 31 and (params.TL - 1) <= LANES
 
 
+def supported_wide(params: SketchParams) -> bool:
+    """Wide variant: 32..60-bit drtuples (k-l >= 8) as two uint32 output
+    planes; window halo must still fit one lane tile. k = 16 (W = 32)
+    stays on the jnp path: the log accumulation's level segments must
+    fit uint32 (W <= 30, see _accumulate_log) and the rc derivation
+    shifts by 64-2W (zero-shift hazard at W = 32)."""
+    return (
+        31 < params.drtuple_bits <= 60
+        and (params.TL - 1) <= LANES
+        and params.TL <= 30
+    )
+
+
 def _u32(x: int) -> np.uint32:
     return np.uint32(x & 0xFFFFFFFF)
 
@@ -241,13 +254,25 @@ def _accumulate_log(ext, W: int):
     return fwd_hi, fwd_lo, rc_hi, rc_lo, invalid
 
 
+def _shl64(x, S: int):
+    """uint32 value -> 64-bit (hi, lo) pair shifted left by static S
+    (S < 64); uses the Mosaic-safe shift helpers."""
+    if S >= 32:
+        return _shl_wide(x, S - 32), x ^ x  # _shl_wide(x, 0) == x
+    hi = _lsr(x, 32 - S) if S > 0 else x ^ x
+    return hi, _shl_wide(x, S)
+
+
 def _sketch_kernel(
     a_ref, b_ref, out_ref, *, params: SketchParams, seed: int,
-    debug: str = "", accum: str = "log",
+    debug: str = "", accum: str = "log", wide: bool = False,
+    hi_ref=None,
 ):
     """One (BLOCK_ROWS, LANES) tile: a_ref = this row-block, b_ref = the
     row-block one row down (halo source). Emits one code per window
-    position, SENTINEL32 where filtered out."""
+    position, SENTINEL32 where filtered out. ``wide`` emits the drtuple
+    as two planes (out_ref = low 32 bits, hi_ref = high bits; a real hi
+    is < 2^28, so hi == SENTINEL32 marks filtered windows)."""
     W = params.TL
     H = W - 1  # halo width
 
@@ -297,12 +322,26 @@ def _sketch_kernel(
     s, k, l = params.half_subctx_len, params.half_ctx_len, params.drlevel
     left_outer = _shift_right_128(uni_hi, uni_lo, 2 * (k + s))
     right_outer = uni_lo & _u32(params.rightmask)
-    drtuple = (
-        (left_outer << _u32(2 * (k + s) - 4 * l))
-        + (right_outer << _u32(4 * s - 4 * l))
-        + (pf - np.uint32(params.dim_start))
-    )
-    out_ref[:] = jnp.where(keep, drtuple, SENTINEL32)
+    pfv = pf - np.uint32(params.dim_start)
+    S1 = 2 * (k + s) - 4 * l
+    S2 = 4 * s - 4 * l
+    if not wide:
+        drtuple = (
+            (left_outer << _u32(S1)) + (right_outer << _u32(S2)) + pfv
+        )
+        out_ref[:] = jnp.where(keep, drtuple, SENTINEL32)
+        return
+    # wide (32..60-bit) repack: explicit (hi, lo) add with carries.
+    # left_outer has 2(k-s) <= 28 bits, right_outer 2(k-s) bits, pfv
+    # < 2^(4s); only S1 can reach/exceed 32 (S1 + 2(k-s) = drtuple_bits)
+    a_hi, a_lo = _shl64(left_outer, S1)
+    b_hi, b_lo = _shl64(right_outer, S2)
+    lo1 = a_lo + b_lo
+    hi1 = a_hi + b_hi + _ult(lo1, a_lo).astype(jnp.uint32)
+    lo2 = lo1 + pfv
+    hi2 = hi1 + _ult(lo2, lo1).astype(jnp.uint32)
+    out_ref[:] = jnp.where(keep, lo2, SENTINEL32)
+    hi_ref[:] = jnp.where(keep, hi2, SENTINEL32)
 
 
 def _default_accum() -> str:
@@ -352,7 +391,8 @@ def validated_on_backend(params: SketchParams, computed) -> bool:
 
 
 def _self_check(params: SketchParams, computed) -> bool:
-    """pallas dense output == jnp dense output on ~8k mixed symbols."""
+    """pallas dense output == jnp dense output on ~8k mixed symbols
+    (narrow or wide kernel, picked by the geometry's code width)."""
     from public_kssd_tpu.ops import sketch as sketch_ops
 
     rng = np.random.default_rng(0xC0DE)
@@ -360,14 +400,22 @@ def _self_check(params: SketchParams, computed) -> bool:
     sym = rng.integers(0, 4, size=n).astype(np.uint8)
     sym[rng.integers(0, n, size=16)] = BREAK
     symd = jnp.asarray(sym)
-    dense = np.asarray(sketch_windows_pallas(symd, params, computed.seed))
+    wide = params.drtuple_bits > 31
+    if wide:
+        dense = np.asarray(
+            sketch_windows_pallas_wide(symd, params, computed.seed)
+        )
+        sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        dense = np.asarray(sketch_windows_pallas(symd, params, computed.seed))
+        sentinel = SENTINEL32
     dr, keep = sketch_ops.sketch_windows(symd, None, params, computed)
     dr, keep = np.asarray(dr), np.asarray(keep)
     m = dr.shape[0]
-    keep_p = dense != SENTINEL32
+    keep_p = dense != sentinel
     return (
         np.array_equal(keep_p[:m], keep)
-        and np.array_equal(dense[:m][keep], dr[keep].astype(np.uint32))
+        and np.array_equal(dense[:m][keep], dr[keep].astype(dense.dtype))
         and int(keep_p[m:].sum()) == 0
     )
 
@@ -425,6 +473,64 @@ def sketch_windows_pallas(
         interpret=interpret,
     )(sym2d, _rolled_down(sym2d))
     return out[:rows].reshape(n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "seed", "interpret", "accum")
+)
+def sketch_windows_pallas_wide(
+    symbols: jax.Array,  # uint8 [N], N a multiple of LANES
+    params: SketchParams,
+    seed: int,
+    interpret: bool = False,
+    accum: str | None = None,
+) -> jax.Array:
+    """uint64 [N] per-window sketch codes for 32..60-bit drtuples
+    (SENTINEL = all-ones marks filtered windows).
+
+    The kernel emits two uint32 planes (low word + high bits with
+    explicit carry propagation — Mosaic-safe helpers throughout, see
+    _sketch_kernel ``wide``); they combine to uint64 outside the kernel
+    (x64 ops don't exist on the VPU lanes). Requires
+    ``supported_wide(params)``.
+    """
+    n = symbols.shape[0]
+    assert n % LANES == 0, "pad stream to a multiple of LANES"
+    rows = n // LANES
+    grid_rows = pl.cdiv(rows, BLOCK_ROWS)
+    pad_rows = grid_rows * BLOCK_ROWS - rows
+    sym2d = symbols.reshape(rows, LANES)
+    if pad_rows:
+        sym2d = jnp.pad(sym2d, ((0, pad_rows), (0, 0)), constant_values=BREAK)
+    total_rows = rows + pad_rows
+
+    kernel = functools.partial(
+        _sketch_kernel, params=params, seed=seed,
+        accum=accum or _default_accum(), wide=True,
+    )
+
+    def body(a_ref, b_ref, lo_ref, hi_ref):
+        kernel(a_ref, b_ref, lo_ref, hi_ref=hi_ref)
+
+    spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, i - i), memory_space=pltpu.VMEM
+    )
+    lo, hi = pl.pallas_call(
+        body,
+        grid=(grid_rows,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(sym2d, _rolled_down(sym2d))
+    lo = lo[:rows].reshape(n)
+    hi = hi[:rows].reshape(n)
+    keep = hi != SENTINEL32
+    code = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    return jnp.where(keep, code, jnp.uint64(0xFFFFFFFFFFFFFFFF))
 
 
 def _rolled_down(sym2d: jax.Array) -> jax.Array:

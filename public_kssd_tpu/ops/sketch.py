@@ -121,9 +121,11 @@ SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # drtuple is <= 60 bits
 SENTINEL32 = np.uint32(0xFFFFFFFF)  # dense 32-bit code sentinel (== pallas_sketch.SENTINEL32)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cap", "computed"))
+@functools.partial(jax.jit, static_argnames=(
+    "params", "cap", "computed", "use_pallas", "interpret"))
 def sketch_windows_compact(
-    symbols, shuffled_dim, params: SketchParams, cap: int, computed=None
+    symbols, shuffled_dim, params: SketchParams, cap: int, computed=None,
+    use_pallas: bool = False, interpret: bool = False,
 ):
     """Kernel + on-device compaction: (codes uint64 [cap], pos int32 [cap]).
 
@@ -142,8 +144,22 @@ def sketch_windows_compact(
     ``jnp.nonzero(size=cap)`` (47 ms vs 722 ms per 8M-window block on a
     v5e, measured) because nonzero lowers to a full-length scatter.
     """
-    drtuple, keep = sketch_windows_math(symbols, shuffled_dim, params, computed)
-    m = drtuple.shape[0]
+    if use_pallas:
+        # wide (32..60-bit) Pallas dense kernel; requires n % LANES == 0
+        # (the wide streaming path pads its chunks to pow2 buckets)
+        from public_kssd_tpu.ops import pallas_sketch
+
+        dense = pallas_sketch.sketch_windows_pallas_wide(
+            symbols, params, computed.seed, interpret=interpret
+        )
+        m = symbols.shape[0] - params.TL + 1
+        drtuple = dense[:m]
+        keep = drtuple != SENTINEL
+    else:
+        drtuple, keep = sketch_windows_math(
+            symbols, shuffled_dim, params, computed
+        )
+        m = drtuple.shape[0]
     neg_inf = jnp.int32(-(2**31 - 1))
     key = jnp.where(keep, -jnp.arange(m, dtype=jnp.int32), neg_inf)
     if cap > m:
@@ -156,16 +172,18 @@ def sketch_windows_compact(
     return codes, pos
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cap", "computed"))
+@functools.partial(jax.jit, static_argnames=(
+    "params", "cap", "computed", "use_pallas", "interpret"))
 def sketch_windows_compact_fused(
-    symbols, shuffled_dim, params, cap: int, computed=None
+    symbols, shuffled_dim, params, cap: int, computed=None,
+    use_pallas: bool = False, interpret: bool = False,
 ):
     """Like sketch_windows_compact but returns ONE uint64 [2*cap] array
     (codes ++ positions) — a single device buffer to fetch, and no eager
     ops on the host side (each eager dispatch through a remote-device
     tunnel costs hundreds of ms)."""
     codes, pos = sketch_windows_compact.__wrapped__(
-        symbols, shuffled_dim, params, cap, computed
+        symbols, shuffled_dim, params, cap, computed, use_pallas, interpret
     )
     return jnp.concatenate([codes, pos.astype(jnp.int64).astype(jnp.uint64)])
 
@@ -294,7 +312,24 @@ def _pallas_mode(params, computed) -> str:
 
     from public_kssd_tpu.ops import pallas_sketch
 
-    if computed is None or not pallas_sketch.supported(params):
+    return _pallas_mode_any(params, computed, pallas_sketch.supported)
+
+
+def _pallas_mode_wide(params, computed) -> str:
+    """Wide-geometry (32..60-bit drtuple) twin of _pallas_mode."""
+    from public_kssd_tpu.ops import pallas_sketch
+
+    return _pallas_mode_any(params, computed, pallas_sketch.supported_wide)
+
+
+def _pallas_mode_any(params, computed, support_fn) -> str:
+    import os
+
+    import jax  # noqa: F811 (module-level jax is fine; kept local-safe)
+
+    from public_kssd_tpu.ops import pallas_sketch
+
+    if computed is None or not support_fn(params):
         return ""
     mode = os.environ.get("KSSD_TPU_PALLAS", "auto")
     if mode == "off":
@@ -443,8 +478,13 @@ def _sketch_codes_stream_wide(
     block: int,
     computed,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Fallback streaming for >31-bit drtuples (k-l > 7): full-length
-    top_k compaction over uint64 codes (sketch_windows_compact_fused)."""
+    """Streaming for >31-bit drtuples (k-l > 7): full-length top_k
+    compaction over uint64 codes (sketch_windows_compact_fused); the
+    dense pass uses the WIDE Pallas kernel (two uint32 planes, explicit
+    carries) on TPU, the jnp uint64 path otherwise."""
+    mode = _pallas_mode_wide(params, computed)
+    use_pallas = bool(mode)
+    interpret = mode == "interpret"
     W = params.TL
     n = symbols.size
     pending = []  # (start, cap, chunk_dev, result_dev)
@@ -461,7 +501,7 @@ def _sketch_codes_stream_wide(
         cap = max(4096, 1 << (4 * max(exp, 1) - 1).bit_length())
         chunk_dev = jnp.asarray(chunk)
         both = sketch_windows_compact_fused(
-            chunk_dev, table, params, cap, computed
+            chunk_dev, table, params, cap, computed, use_pallas, interpret
         )
         pending.append((start, cap, chunk_dev, both))
         start = end - (W - 1)
@@ -477,7 +517,8 @@ def _sketch_codes_stream_wide(
             cap *= 4  # possibly overflowed: retry this block with headroom
             both = np.asarray(
                 sketch_windows_compact_fused(
-                    chunk_dev, table, params, cap, computed
+                    chunk_dev, table, params, cap, computed,
+                    use_pallas, interpret,
                 )
             )
             codes_np = both[:cap]

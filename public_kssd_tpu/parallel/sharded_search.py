@@ -221,10 +221,12 @@ def build_genome_sharded_db(
 def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacity):
     """Per-shard counting (same algorithm as ops.count.count_shared_device,
     on uint64 keys). All inputs are the LOCAL shard block."""
-    from public_kssd_tpu.ops.count import rank_into
+    from public_kssd_tpu.ops.count import lookup_method, rank_into
 
     nnz = uniq.shape[0]
-    row = jnp.searchsorted(uniq, qry_keys, method="sort")
+    row = jnp.searchsorted(
+        uniq, qry_keys, method=lookup_method(qry_keys.shape[0], nnz)
+    )
     row_c = jnp.clip(row, 0, nnz - 1)
     found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)
@@ -253,10 +255,12 @@ def _count_partial_weighted(
     command_dist.c:1080-1160; single-device twin
     ops.count.count_shared_weighted_device). Returns uint64 so deep
     postings cannot wrap; the psum stays exact in x64 mode."""
-    from public_kssd_tpu.ops.count import rank_into
+    from public_kssd_tpu.ops.count import lookup_method, rank_into
 
     nnz = uniq.shape[0]
-    row = jnp.searchsorted(uniq, qry_keys, method="sort")
+    row = jnp.searchsorted(
+        uniq, qry_keys, method=lookup_method(qry_keys.shape[0], nnz)
+    )
     row_c = jnp.clip(row, 0, nnz - 1)
     found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)

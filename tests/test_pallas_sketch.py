@@ -133,3 +133,42 @@ def test_self_check_gates_dispatch(monkeypatch):
     monkeypatch.setattr(pallas_sketch, "_self_check", lambda pp, cc: True)
     monkeypatch.setattr(pallas_sketch, "_validated", {})
     assert sketch_ops._pallas_mode(p, comp) == "tpu"
+
+
+@pytest.mark.parametrize("accum", ["log", "unroll"])
+@pytest.mark.parametrize(
+    "k,s,l", [(10, 6, 2), (12, 6, 3), (15, 7, 3), (15, 7, 1)])
+def test_pallas_wide_dense_matches_jnp(k, s, l, accum):
+    """The wide (32..60-bit drtuple) dual-plane kernel must equal the
+    jnp uint64 path exactly (covers left-outer shift S1 < 32, == 32 and
+    > 32 carry layouts: drtuple_bits 32 / 36 / 48 / 56; k = 16 is
+    excluded by supported_wide — W = 32 breaks the level invariant)."""
+    p, comp, sym = _mk(k, s, l, 8192, seed=k + 50)
+    assert pallas_sketch.supported_wide(p) and not pallas_sketch.supported(p)
+    dense = np.asarray(
+        pallas_sketch.sketch_windows_pallas_wide(
+            sym, p, comp.seed, interpret=True, accum=accum
+        )
+    )
+    dr, keep = sketch_ops.sketch_windows(sym, None, p, comp)
+    dr, keep = np.asarray(dr), np.asarray(keep)
+    m = dr.shape[0]
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    keep_p = dense != sentinel
+    np.testing.assert_array_equal(keep_p[:m], keep)
+    assert keep_p[m:].sum() == 0
+    np.testing.assert_array_equal(dense[:m][keep], dr[keep])
+    assert keep.sum() > 0
+
+
+def test_wide_stream_pallas_equals_jnp(monkeypatch):
+    """KSSD_TPU_PALLAS=interpret routes the WIDE streaming path through
+    the pallas kernel; codes and positions must match the jnp route."""
+    p, comp, sym = _mk(12, 6, 3, 120_000, seed=9, n_breaks=120)
+    monkeypatch.setenv("KSSD_TPU_PALLAS", "off")
+    codes_jnp, pos_jnp = sketch_ops.sketch_codes_stream(sym, comp, p)
+    monkeypatch.setenv("KSSD_TPU_PALLAS", "interpret")
+    codes_pal, pos_pal = sketch_ops.sketch_codes_stream(sym, comp, p)
+    np.testing.assert_array_equal(codes_pal, codes_jnp)
+    np.testing.assert_array_equal(pos_pal, pos_jnp)
+    assert codes_jnp.size > 0
