@@ -240,14 +240,23 @@ def bench_counting_roofline() -> None:
     uniq, offs, g = count_ops._device_index(sp)
     qc_d, qq_d = jnp.asarray(qc), jnp.asarray(qq)
 
-    def wall(K):
-        outs = [
-            count_ops.count_shared_device(
-                qc_d, qq_d, uniq, offs, g,
+    bk = count_ops._device_bucket(sp)
+
+    def dispatch():
+        if bk is not None:
+            bucket, shift, Kb = bk
+            return count_ops._count_bucketed(
+                qc_d, qq_d, uniq, offs, g, bucket,
                 n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+                shift=shift, K=Kb, out16=False,
             )
-            for _ in range(K)
-        ]
+        return count_ops.count_shared_device(
+            qc_d, qq_d, uniq, offs, g,
+            n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+        )
+
+    def wall(K):
+        outs = [dispatch() for _ in range(K)]
         t0 = time.perf_counter()
         # single device stream: the last completing implies all did
         jax.block_until_ready(outs[-1])
@@ -556,14 +565,24 @@ _SKETCH_CHILD = textwrap.dedent("""
     out = os.path.join(data_dir, f"skout_{n_proc}_{pid}")
     import resource, shutil
     shutil.rmtree(out, ignore_errors=True)
+
+    def cpu_now():
+        rs = resource.getrusage(resource.RUSAGE_SELF)
+        rc = resource.getrusage(resource.RUSAGE_CHILDREN)
+        return rs.ru_utime + rs.ru_stime + rc.ru_utime + rc.ru_stime
+
+    # warm run first: interpreter + jax init + compiles are per-process
+    # FIXED costs, not split overhead — measuring them made the 2-proc
+    # inflation metric report startup cost instead of decomposition cost
+    pipeline.run_stage1(mine, out, params, shuf,
+                        pipeline.SketchOptions(compat_order=False))
+    shutil.rmtree(out, ignore_errors=True)
+    c0 = cpu_now()
     t0 = time.perf_counter()
     pipeline.run_stage1(mine, out, params, shuf,
                         pipeline.SketchOptions(compat_order=False))
     wall = time.perf_counter() - t0
-    rs = resource.getrusage(resource.RUSAGE_SELF)
-    rc = resource.getrusage(resource.RUSAGE_CHILDREN)
-    cpu = rs.ru_utime + rs.ru_stime + rc.ru_utime + rc.ru_stime
-    print(json.dumps({"pid": pid, "wall_s": wall, "cpu_s": cpu,
+    print(json.dumps({"pid": pid, "wall_s": wall, "cpu_s": cpu_now() - c0,
                       "n": len(mine)}))
 """)
 

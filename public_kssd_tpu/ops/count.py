@@ -78,6 +78,89 @@ def rank_into(cum, capacity: int):
     return jnp.cumsum(hist[:capacity])
 
 
+def _lookup_bucket(uniq, bucket, codes, shift: int, K: int):
+    """Row lookup via a precomputed bucket rank table: bucket[p] is the
+    first CSR row whose code has top bits >= p, so the binary search per
+    code shrinks from log2(nnz) steps to K = ceil(log2(max bucket
+    occupancy)) — ~6 gathers instead of 28 for a GTDB-scale DB, with no
+    per-call DB re-sort (the sort-method alternative re-sorted all of
+    uniq every call). The table costs 4 B/bucket of HBM, built once per
+    DB upload (_device_bucket)."""
+    p = (codes >> np.uint32(shift)).astype(jnp.int32)
+    lo = bucket[p]
+    hi = bucket[p + 1]
+    nnz = uniq.shape[0]
+    for _ in range(K):  # static unroll; invariant lo <= lower_bound <= hi
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = uniq[jnp.clip(mid, 0, max(nnz - 1, 0))]
+        less = v < codes
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+    return lo
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_qry", "n_ref", "capacity", "shift", "K", "out16"))
+def _count_bucketed(
+    qry_codes, qry_qid, uniq_codes, offsets, gids, bucket,
+    *, n_qry: int, n_ref: int, capacity: int, shift: int, K: int,
+    out16: bool,
+):
+    """count_shared_device with the bucket-table lookup; returns
+    (counts flat [n_qry*n_ref] uint16|uint32, total int64)."""
+    nnz = uniq_codes.shape[0]
+    row = _lookup_bucket(uniq_codes, bucket, qry_codes, shift, K)
+    row_c = jnp.clip(row, 0, max(nnz - 1, 0))
+    found = (row < nnz) & (uniq_codes[row_c] == qry_codes) & (qry_qid >= 0)
+    start = jnp.where(found, offsets[row_c], 0)
+    length = jnp.where(found, offsets[row_c + 1] - offsets[row_c], 0)
+    cum = jnp.cumsum(length.astype(jnp.int64))
+    total = cum[-1]
+    t = jnp.arange(capacity, dtype=jnp.int64)
+    src = rank_into(cum, capacity)
+    src_c = jnp.clip(src, 0, length.shape[0] - 1)
+    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+    pos = jnp.clip(start[src_c].astype(jnp.int64) + (t - prev), 0,
+                   gids.shape[0] - 1)
+    rid = gids[pos].astype(jnp.int64)
+    qid = qry_qid[src_c].astype(jnp.int64)
+    valid = t < total
+    flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint32)
+    counts = counts.at[flat].add(jnp.uint32(1))[:-1]
+    if out16:
+        counts = counts.astype(jnp.uint16)
+    return counts, total
+
+
+def _device_bucket(sparse_index):
+    """Bucket rank table for the resident DB, cached on the index:
+    (bucket_dev int32 [nb+1], shift, K). nb scales with nnz (<= 2^24
+    buckets = 64 MB); built with one host searchsorted per DB load."""
+    cached = getattr(sparse_index, "_dev_bucket", None)
+    if cached is not None:
+        return cached
+    uniq_np = sparse_index.uniq_codes
+    nnz = uniq_np.size
+    if nnz >= (1 << 31) or nnz == 0:
+        sparse_index._dev_bucket = None
+        return None
+    nb = 1 << min(max(int(nnz).bit_length(), 10), 24)
+    shift = 32 - int(nb).bit_length() + 1
+    bucket = np.empty(nb + 1, np.int32)
+    probes = (np.arange(nb, dtype=np.uint64) << np.uint64(shift)).astype(
+        np.uint32
+    )
+    bucket[:nb] = np.searchsorted(uniq_np, probes)
+    bucket[nb] = nnz
+    max_occ = int(np.diff(bucket.astype(np.int64)).max())
+    K = max(int(max_occ).bit_length(), 1)
+    cached = (jnp.asarray(bucket), shift, K)
+    sparse_index._dev_bucket = cached
+    return cached
+
+
 def count_shared_np(
     qry_codes: np.ndarray,
     qry_index: np.ndarray,
@@ -242,7 +325,7 @@ def count_shared_weighted(
         (qc_d, qq_d, jnp.asarray(qw), uniq, offs, g),
         qry_codes.size, sparse_index, n_qry, n_ref,
     )
-    return out[:-1].reshape(n_qry, n_ref)
+    return out.reshape(n_qry, n_ref)
 
 
 def _device_index(sparse_index):
@@ -272,24 +355,48 @@ def _device_index(sparse_index):
     return dev
 
 
+@functools.partial(jax.jit, static_argnames=("n_qry", "n_ref", "capacity"))
+def _count_shared_device16(
+    qry_codes, qry_qid, uniq_codes, offsets, gids,
+    *, n_qry: int, n_ref: int, capacity: int,
+):
+    """count_shared_device with the count matrix downcast to uint16 ON
+    DEVICE before the fetch: per-cell counts are bounded by the query's
+    code count, so whenever every query sketch in the batch has < 2^16
+    codes (the caller's gate) the downcast is lossless and the dominant
+    device->host transfer halves (GTDB batch: 81 -> 40 MB). Returns
+    (uint16 [n_qry*n_ref], total int64)."""
+    out = count_shared_device.__wrapped__(
+        qry_codes, qry_qid, uniq_codes, offsets, gids,
+        n_qry=n_qry, n_ref=n_ref, capacity=capacity,
+    )
+    return out[:-1].astype(jnp.uint16), out[-1].astype(jnp.int64)
+
+
 def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
     """Dispatch a counting kernel with adaptive optimistic capacity.
 
-    The kernel's last output slot carries the true matching-pair total:
-    undershoot -> retry with the exact capacity (2 round trips, rare
-    after the first call per DB), overshoot -> wasted expansion work.
-    Start from the observed density of earlier calls against the same
-    index (1.25x headroom), or 2x the code count for a fresh DB. The
-    observed density lives ON the index object, so it dies with it.
+    The kernel's last output slot (or second tuple element) carries the
+    true matching-pair total: undershoot -> retry with the exact
+    capacity (2 round trips, rare after the first call per DB),
+    overshoot -> wasted expansion work. Start from the observed density
+    of earlier calls against the same index (1.25x headroom), or 2x the
+    code count for a fresh DB. The observed density lives ON the index
+    object, so it dies with it.
     """
     dens = getattr(sparse_index, "_pair_density", 2.0)
     capacity = 1 << max(int(max(dens * 1.25 * n_codes, 1) - 1).bit_length(), 6)
     while True:
-        out = np.asarray(kernel(
-            *args, n_qry=n_qry, n_ref=n_ref, capacity=capacity,
-        ))
-        total = int(out[-1])
-        if total <= capacity:
+        res = kernel(*args, n_qry=n_qry, n_ref=n_ref, capacity=capacity)
+        if isinstance(res, tuple):
+            body, tot = res
+            total = int(tot)
+            out = np.asarray(body) if total <= capacity else None
+        else:
+            out = np.asarray(res)
+            total = int(out[-1])
+            out = out[:-1] if total <= capacity else None
+        if out is not None:
             break
         # recompute the retry capacity FIRST: dispatching a >2^31-slot
         # expansion would OOM the device before any clean error fires
@@ -403,8 +510,21 @@ def count_shared(
     uniq, offs, g = _device_index(sparse_index)
     qc_d = jnp.asarray(qc)
     qq_d = jnp.asarray(qq)
+    # uint16 device downcast before the fetch when no per-cell count can
+    # reach 2^16 (cells are bounded by the query's own code count) and
+    # the matrix is big enough for transfer time to matter
+    per_qry_max = int(np.diff(qry_index).max()) if n_qry else 0
+    out16 = n_qry * n_ref >= (1 << 21) and per_qry_max < (1 << 16)
+    bk = _device_bucket(sparse_index)
+    if bk is not None:
+        bucket, shift, K = bk
+        kern = functools.partial(_count_bucketed, shift=shift, K=K,
+                                 out16=out16)
+        args = (qc_d, qq_d, uniq, offs, g, bucket)
+    else:
+        kern = _count_shared_device16 if out16 else count_shared_device
+        args = (qc_d, qq_d, uniq, offs, g)
     out = _run_counting(
-        count_shared_device, (qc_d, qq_d, uniq, offs, g),
-        qry_codes.size, sparse_index, n_qry, n_ref,
+        kern, args, qry_codes.size, sparse_index, n_qry, n_ref,
     )
-    return out[:-1].reshape(n_qry, n_ref)
+    return out.reshape(n_qry, n_ref)

@@ -331,3 +331,41 @@ def test_count_matmul_matches_expansion():
             offsets=np.zeros((1 << 20) + 1, np.uint64),
             gids=np.zeros(1, np.uint32), n_genomes=1 << 20)
         count_ops.count_shared_matmul(qry, qidx, big, 1 << 12)
+
+
+def test_count_device16_matches_oracle():
+    """The uint16-fetch kernel variant (big-matrix gate) must equal the
+    oracle exactly; exercised directly since tests are below the gate."""
+    import jax.numpy as jnp
+
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.ops import count as count_ops
+
+    rng = np.random.default_rng(12)
+    n_ref, sk, n_qry, space = 32, 64, 8, 1 << 14
+    ref = rng.integers(0, space, size=(n_ref, sk), dtype=np.uint64)
+    sp = index_mod.build_component_index(
+        np.sort(ref, axis=1).ravel().astype(np.uint32),
+        np.arange(n_ref + 1, dtype=np.uint64) * sk, n_ref)
+    qry = ref[:n_qry].ravel().astype(np.uint32)  # guaranteed dense hits
+    qidx = np.arange(n_qry + 1, dtype=np.uint64) * sk
+    want = count_ops.count_shared_np(
+        qry, qidx, sp.uniq_codes, sp.offsets, sp.gids, n_qry, n_ref)
+
+    qid_of = np.searchsorted(
+        qidx[1:], np.arange(qry.size, dtype=np.uint64), "right"
+    ).astype(np.int32)
+    L = 1 << int(qry.size - 1).bit_length()
+    qc = np.zeros(L, np.uint32); qc[: qry.size] = qry
+    qq = np.full(L, -1, np.int32); qq[: qry.size] = qid_of
+    uniq, offs, g = count_ops._device_index(sp)
+    body, total = count_ops._count_shared_device16(
+        jnp.asarray(qc), jnp.asarray(qq), uniq, offs, g,
+        n_qry=n_qry, n_ref=n_ref, capacity=1 << 14,
+    )
+    body = np.asarray(body)
+    assert body.dtype == np.uint16
+    assert int(total) == int(want.sum())
+    np.testing.assert_array_equal(
+        body.reshape(n_qry, n_ref).astype(np.uint32), want)
+    assert want.max() > 0
