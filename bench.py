@@ -460,7 +460,8 @@ _SCALING_CHILD = textwrap.dedent("""
     key, offsets, gids = sharded_search.merge_components([sp], 0)
     builder = (sharded_search.build_genome_sharded_db
                if strategy == "genome" else sharded_search.build_sharded_db)
-    db = builder(key, offsets, gids, n_ref, n_dev)
+    db = sharded_search._attach_buckets(
+        builder(key, offsets, gids, n_ref, n_dev))
 
     # fixed query work: half the codes planted from the FIRST shard's
     # genomes so expansion work per query is n_dev-independent
@@ -499,12 +500,13 @@ _SCALING_CHILD = textwrap.dedent("""
 
     per_col = REF_PER_SHARD if strategy == "genome" else n_ref
     fn = sharded_search.make_sharded_count_fn(
-        mesh, n_qry, per_col, capacity, strategy=strategy)
+        mesh, n_qry, per_col, capacity, strategy=strategy,
+        bshift=db.bshift, bK=db.bK)
     sh_ref = NamedSharding(mesh, P("ref", None))
     sh_dp = NamedSharding(mesh, P("dp"))
     db_dev = tuple(
         jax.make_array_from_callback(a.shape, sh_ref, lambda i, a=a: a[i])
-        for a in (db.uniq, db.offsets, db.gids))
+        for a in (db.uniq, db.offsets, db.gids, db.bucket))
     qk_dev = jax.make_array_from_callback(
         qk_pad.shape, sh_dp, lambda i: qk_pad[i])
     qq_dev = jax.make_array_from_callback(

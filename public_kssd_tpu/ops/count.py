@@ -86,7 +86,7 @@ def _lookup_bucket(uniq, bucket, codes, shift: int, K: int):
     per-call DB re-sort (the sort-method alternative re-sorted all of
     uniq every call). The table costs 4 B/bucket of HBM, built once per
     DB upload (_device_bucket)."""
-    p = (codes >> np.uint32(shift)).astype(jnp.int32)
+    p = (codes >> codes.dtype.type(shift)).astype(jnp.int32)
     lo = bucket[p]
     hi = bucket[p + 1]
     nnz = uniq.shape[0]

@@ -66,6 +66,11 @@ class ShardedDB:
     n_ref: int
     n_shards: int
     row_bounds: np.ndarray  # int64 [S+1] shard cut rows in the merged CSR
+    # per-shard bucket rank tables over the key space (ops.count
+    # bucket-lookup design, built by _attach_buckets): int32 [S, nb+1]
+    bucket: np.ndarray | None = None
+    bshift: int = 0
+    bK: int = 1
 
 
 def merge_components(
@@ -218,15 +223,55 @@ def build_genome_sharded_db(
                      n_shards=n_shards, row_bounds=bounds)
 
 
-def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacity):
+def _attach_buckets(db: ShardedDB) -> ShardedDB:
+    """Per-shard bucket rank tables: bucket[s][p] = first row of shard s
+    whose key has top bits >= p. Probes use the GLOBAL key width, so the
+    per-code binary search in _count_partial is bounded by K = log2(max
+    bucket occupancy) gathers instead of log2(nnz_pad) — the sharded
+    twin of ops.count._device_bucket. Pad keys (UINT64_MAX) sort after
+    every probe, so bucket entries never point into the pad run."""
+    S, nnz_pad = db.uniq.shape
+    real_max = np.uint64(0)
+    for srow in db.uniq:
+        vals = srow[srow != np.iinfo(np.uint64).max]
+        if vals.size:
+            real_max = max(real_max, np.uint64(vals[-1]))
+    keybits = max(int(real_max).bit_length(), 1)
+    nb = 1 << min(max(int(nnz_pad).bit_length(), 10), 22)
+    shift = max(keybits - int(nb).bit_length() + 1, 0)
+    probes = np.arange(nb, dtype=np.uint64) << np.uint64(shift)
+    bucket = np.empty((S, nb + 1), np.int32)
+    max_occ = 1
+    for sidx in range(S):
+        srow = db.uniq[sidx]
+        real = int(np.searchsorted(srow, np.uint64(np.iinfo(np.uint64).max)))
+        bucket[sidx, :nb] = np.searchsorted(srow, probes)
+        bucket[sidx, nb] = real
+        max_occ = max(
+            max_occ,
+            int(np.diff(bucket[sidx].astype(np.int64)).max(initial=1)),
+        )
+    return dataclasses.replace(
+        db, bucket=bucket, bshift=shift,
+        bK=max(int(max_occ).bit_length(), 1),
+    )
+
+
+def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacity,
+                   bucket=None, bshift=0, bK=1):
     """Per-shard counting (same algorithm as ops.count.count_shared_device,
     on uint64 keys). All inputs are the LOCAL shard block."""
-    from public_kssd_tpu.ops.count import lookup_method, rank_into
+    from public_kssd_tpu.ops.count import (
+        _lookup_bucket, lookup_method, rank_into,
+    )
 
     nnz = uniq.shape[0]
-    row = jnp.searchsorted(
-        uniq, qry_keys, method=lookup_method(qry_keys.shape[0], nnz)
-    )
+    if bucket is not None:
+        row = _lookup_bucket(uniq, bucket, qry_keys, bshift, bK)
+    else:
+        row = jnp.searchsorted(
+            uniq, qry_keys, method=lookup_method(qry_keys.shape[0], nnz)
+        )
     row_c = jnp.clip(row, 0, nnz - 1)
     found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)
@@ -247,7 +292,8 @@ def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacit
 
 
 def _count_partial_weighted(
-    qry_keys, qry_qid, qry_w, uniq, offsets, gids, n_qry, n_ref, capacity
+    qry_keys, qry_qid, qry_w, uniq, offsets, gids, n_qry, n_ref, capacity,
+    bucket=None, bshift=0, bK=1,
 ):
     """Weighted twin of _count_partial: each matched (query occurrence x
     posting) pair contributes the query code's abundance (``.a`` counter)
@@ -255,12 +301,17 @@ def _count_partial_weighted(
     command_dist.c:1080-1160; single-device twin
     ops.count.count_shared_weighted_device). Returns uint64 so deep
     postings cannot wrap; the psum stays exact in x64 mode."""
-    from public_kssd_tpu.ops.count import lookup_method, rank_into
+    from public_kssd_tpu.ops.count import (
+        _lookup_bucket, lookup_method, rank_into,
+    )
 
     nnz = uniq.shape[0]
-    row = jnp.searchsorted(
-        uniq, qry_keys, method=lookup_method(qry_keys.shape[0], nnz)
-    )
+    if bucket is not None:
+        row = _lookup_bucket(uniq, bucket, qry_keys, bshift, bK)
+    else:
+        row = jnp.searchsorted(
+            uniq, qry_keys, method=lookup_method(qry_keys.shape[0], nnz)
+        )
     row_c = jnp.clip(row, 0, nnz - 1)
     found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)
@@ -285,6 +336,7 @@ def make_sharded_count_fn(
     mesh: Mesh, n_qry: int, n_ref: int, capacity: int,
     qry_axis: str = "dp", ref_axis: str = "ref",
     weighted: bool = False, strategy: str = "code",
+    bshift: int = 0, bK: int = 1,
 ):
     """jit-compiled 2-D SPMD counting step over ``mesh``.
 
@@ -316,13 +368,14 @@ def make_sharded_count_fn(
         return x if genome else jax.lax.psum(x, ref_axis)
 
     if weighted:
-        def step(qk, qq, qw, uniq, offsets, gids):
+        def step(qk, qq, qw, uniq, offsets, gids, bucket):
             partial = _count_partial(
-                qk, qq, uniq[0], offsets[0], gids[0], n_qry, n_ref, capacity
+                qk, qq, uniq[0], offsets[0], gids[0], n_qry, n_ref,
+                capacity, bucket[0], bshift, bK,
             )
             wpartial = _count_partial_weighted(
                 qk, qq, qw, uniq[0], offsets[0], gids[0],
-                n_qry, n_ref, capacity,
+                n_qry, n_ref, capacity, bucket[0], bshift, bK,
             )
             return merge(partial), merge(wpartial)
 
@@ -332,14 +385,16 @@ def make_sharded_count_fn(
             in_specs=(
                 P(qry_axis), P(qry_axis), P(qry_axis),
                 P(ref_axis, None), P(ref_axis, None), P(ref_axis, None),
+                P(ref_axis, None),
             ),
             out_specs=(out_spec, out_spec),
         )
         return jax.jit(fn)
 
-    def step(qk, qq, uniq, offsets, gids):
+    def step(qk, qq, uniq, offsets, gids, bucket):
         return merge(_count_partial(
-            qk, qq, uniq[0], offsets[0], gids[0], n_qry, n_ref, capacity
+            qk, qq, uniq[0], offsets[0], gids[0], n_qry, n_ref,
+            capacity, bucket[0], bshift, bK,
         ))
 
     fn = shard_map(
@@ -348,6 +403,7 @@ def make_sharded_count_fn(
         in_specs=(
             P(qry_axis), P(qry_axis),
             P(ref_axis, None), P(ref_axis, None), P(ref_axis, None),
+            P(ref_axis, None),
         ),
         out_specs=out_spec,
     )
@@ -390,7 +446,7 @@ def sharded_search_counts(
     builder = (
         build_genome_sharded_db if strategy == "genome" else build_sharded_db
     )
-    db = builder(key, offsets, gids, n_ref, n_ref_shards)
+    db = _attach_buckets(builder(key, offsets, gids, n_ref, n_ref_shards))
 
     if koc_out is not None:
         qk_all, qq_all, qw_all = query_keys(
@@ -410,7 +466,7 @@ def sharded_search_counts(
     sh_ref = NamedSharding(mesh, P(ref_axis, None))
     db_dev = tuple(
         jax.make_array_from_callback(a.shape, sh_ref, lambda i, a=a: a[i])
-        for a in (db.uniq, db.offsets, db.gids)
+        for a in (db.uniq, db.offsets, db.gids, db.bucket)
     )
     batch = batch or n_qry_total
     for b0 in range(0, n_qry_total, batch):
@@ -502,6 +558,7 @@ def _sharded_count_block(
     fn = make_sharded_count_fn(
         mesh, per_dp, per_col, capacity, qry_axis, ref_axis,
         weighted=qw is not None, strategy=strategy,
+        bshift=db.bshift, bK=db.bK,
     )
     qk_flat = qk_pad.reshape(-1)
     qq_flat = qq_pad.reshape(-1)

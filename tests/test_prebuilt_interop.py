@@ -81,9 +81,14 @@ def test_stage1_bytes_identical_at_csz8(prebuilt_run):
     my_params, shuf = formats.read_shuf(shuf_path, component_sz=CSZ)
     assert my_params.component_num == 16  # the split actually engages
     out = os.path.join(root, "my_co")
-    pipeline.run_stage1(genomes, out, my_params, shuf)
     ref_dir = os.path.join(root, "ref_co")
     stat = formats.read_co_stat(ref_dir)
+    # the reference randomises its genome processing order at runtime
+    # (shuffleN seeded by srand(time), command_dist.c:75,168) and writes
+    # combco in THAT order; its cofiles.stat records it — sketch in the
+    # same order for byte parity (same approach as test_northstar)
+    assert sorted(stat.names) == sorted(genomes)
+    pipeline.run_stage1(stat.names, out, my_params, shuf)
     assert stat.comp_num == 16
     for c in range(stat.comp_num):
         assert_files_equal(
