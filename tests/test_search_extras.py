@@ -369,3 +369,46 @@ def test_count_device16_matches_oracle():
     np.testing.assert_array_equal(
         body.reshape(n_qry, n_ref).astype(np.uint32), want)
     assert want.max() > 0
+
+
+@pytest.mark.parametrize("codes_kind", ["skewed", "tiny", "boundary"])
+def test_bucket_lookup_edge_cases(codes_kind):
+    """_device_bucket + _lookup_bucket must equal numpy searchsorted for
+    degenerate DB shapes: 'skewed' crams every code into one bucket
+    (occupancy = nnz, K degrades to a full binary search), 'tiny' is a
+    1-code DB, 'boundary' uses codes at 0 and 2^32-1."""
+    import jax.numpy as jnp
+
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.ops import count as count_ops
+
+    rng = np.random.default_rng(5)
+    if codes_kind == "skewed":
+        uniq = np.sort(rng.choice(
+            np.arange(7_000_000, 7_002_000, dtype=np.uint32), 1500,
+            replace=False))
+    elif codes_kind == "tiny":
+        uniq = np.array([42], np.uint32)
+    else:
+        uniq = np.unique(np.concatenate([
+            np.array([0, 1, 0xFFFFFFFE, 0xFFFFFFFF], np.uint32),
+            rng.integers(0, 1 << 32, size=300, dtype=np.uint32),
+        ]))
+    sp = index_mod.SparseIndex(
+        uniq_codes=uniq,
+        offsets=np.arange(uniq.size + 1, dtype=np.uint64),
+        gids=np.zeros(uniq.size, np.uint32),
+        n_genomes=1,
+    )
+    bk = count_ops._device_bucket(sp)
+    assert bk is not None
+    bucket, shift, K = bk
+    probes = np.concatenate([
+        uniq,  # every present code
+        rng.integers(0, 1 << 32, size=512, dtype=np.uint32),  # misses
+        np.array([0, 0xFFFFFFFF], np.uint32),
+    ])
+    got = np.asarray(count_ops._lookup_bucket(
+        jnp.asarray(uniq), bucket, jnp.asarray(probes), shift, K))
+    want = np.searchsorted(uniq, probes)
+    np.testing.assert_array_equal(got, want)
