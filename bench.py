@@ -450,7 +450,10 @@ _SCALING_CHILD = textwrap.dedent("""
     from public_kssd_tpu import index as index_mod
     from public_kssd_tpu.parallel import sharded_search
 
-    REF_PER_SHARD, sk, n_qry, space = 12_500, 256, 512, 1 << 28
+    # n_qry sized so the per-device step is O(0.5 s) on a CPU device:
+    # the bucketed kernels made a 512-query step ~45 ms, small enough
+    # that fixed per-step orchestration swamped the inflation ratio
+    REF_PER_SHARD, sk, n_qry, space = 12_500, 256, 4096, 1 << 28
     n_ref = REF_PER_SHARD * n_dev
     rng = np.random.default_rng(5)
     ref = rng.integers(0, space, size=(n_ref, sk), dtype=np.uint64)
@@ -665,7 +668,7 @@ def bench_scaling() -> None:
             "metric": f"weak_scaling_{strategy}_cpu_inflation_x8",
             "value": inflation[8],
             "unit": "cpu_s_per_step(N)/(N*cpu_s_per_step(1)) at N=8, "
-                    "fixed 12.5k-genome shard/device, 512 queries, "
+                    "fixed 12.5k-genome shard/device, 4096 queries, "
                     "(1,N) cpu mesh. 1.0 = free sharding; CPU-seconds "
                     "are contention-free unlike wall on 2 shared cores. "
                     "North star: >=80% linear scaling => inflation "
