@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-f", dest="skf", default="", help="shared-kmer matrix path")
     p.add_argument("--byread", action="store_true", help="sketch by read")
     p.add_argument("--component-sz", type=int, default=7, help="component space exponent [7]")
+    p.add_argument("--device-index", action="store_true",
+                   help="run the stage II inversion sort on the "
+                        "accelerator (PCIe hosts: ~minutes -> seconds "
+                        "for GTDB-scale; identical artifacts)")
     p.add_argument("--no-dense-index", action="store_true",
                    help="skip the reference-format dense mco.index "
                    "export (2 GiB at CSZ=7); our CSR sidecar is always "
@@ -331,11 +335,13 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
             pipeline.run_stage1(files, args.outdir, params, perm, ref_opts,
                                 mem_gb=args.mmry)
             index.run_stage2(args.outdir, args.outdir, args.component_sz,
-                             dense=not args.no_dense_index)
+                             dense=not args.no_dense_index,
+                             device=args.device_index)
             args.refpath = args.outdir
         elif _is_co_dir(args.refpath) and not _is_mco_dir(args.refpath):
             index.run_stage2(args.refpath, args.refpath, args.component_sz,
-                             dense=not args.no_dense_index)
+                             dense=not args.no_dense_index,
+                             device=args.device_index)
 
     # --- query side (command_dist.c:108-190) ---
     if args.remaining or args.fpath:
@@ -379,7 +385,8 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
         if qry_is_co:
             if len(args.remaining) == 1:
                 index.run_stage2(qry, args.outdir, args.component_sz,
-                                 dense=not args.no_dense_index)
+                                 dense=not args.no_dense_index,
+                             device=args.device_index)
             else:
                 from public_kssd_tpu import combine
 

@@ -34,7 +34,8 @@ class SparseIndex:
 
 
 def build_component_index(
-    codes: np.ndarray, index: np.ndarray, n_genomes: int
+    codes: np.ndarray, index: np.ndarray, n_genomes: int,
+    device: bool = False,
 ) -> SparseIndex:
     """Invert one component's concatenated codes (combco layout).
 
@@ -43,13 +44,27 @@ def build_component_index(
     gid-ascending postings — identical to a stable argsort by code (the
     reference's insertion order) at a fraction of the cost (~5x on the
     412M-posting GTDB build: np.sort moves 8-byte keys, argsort moves
-    8-byte indices AND pays two gather passes)."""
+    8-byte indices AND pays two gather passes).
+
+    ``device=True`` runs the sort — the stage II hot op (combco2mco's
+    row fill, co2mco.c:42-55; SURVEY C9) — on the accelerator
+    (jnp.sort of the packed keys, ~0.5 s for the 412M-posting GTDB
+    build vs minutes on a 2-core host). Worth it when the host<->device
+    link is PCIe; through a slow tunnel the two transfers (~8 B/posting
+    each way) can eat the win, so the host sort stays the default.
+    Boundary extraction is host-side either way (dynamic output sizes
+    don't fit XLA's static shapes, and it is cheap)."""
     gid_of = (
         np.searchsorted(index[1:], np.arange(codes.size, dtype=np.uint64), "right")
         .astype(np.uint32)
     )
     key = (codes.astype(np.uint64) << np.uint64(32)) | gid_of
-    key.sort()
+    if device and key.size:
+        import jax.numpy as jnp
+
+        key = np.asarray(jnp.sort(jnp.asarray(key)))
+    else:
+        key.sort()
     sorted_codes = (key >> np.uint64(32)).astype(np.uint32)
     sorted_gids = key.astype(np.uint32)  # low 32 bits
     if sorted_codes.size:
@@ -103,7 +118,8 @@ def _csr_paths(mco_dir: str, c: int) -> tuple[str, str]:
 
 
 def run_stage2(
-    co_dir: str, mco_dir: str, comp_sz: int, dense: bool = True
+    co_dir: str, mco_dir: str, comp_sz: int, dense: bool = True,
+    device: bool = False,
 ) -> formats.McoStat:
     """Build the reference-compatible index directory from a sketch dir.
 
@@ -120,7 +136,7 @@ def run_stage2(
     comp_space = 1 << (4 * comp_sz)
     for c in range(co.comp_num):
         codes, index = formats.read_combco(co_dir, c)
-        sp = build_component_index(codes, index, co.infile_num)
+        sp = build_component_index(codes, index, co.infile_num, device)
         up, op = _csr_paths(mco_dir, c)
         sp.uniq_codes.astype("<u4").tofile(up)
         sp.offsets.astype("<u8").tofile(op)

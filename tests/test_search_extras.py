@@ -412,3 +412,27 @@ def test_bucket_lookup_edge_cases(codes_kind):
         jnp.asarray(uniq), bucket, jnp.asarray(probes), shift, K))
     want = np.searchsorted(uniq, probes)
     np.testing.assert_array_equal(got, want)
+
+
+def test_device_index_build_identical(env, in_dir, tmp_path):
+    """--device-index: the accelerator-sorted stage II artifacts must be
+    byte-identical to the host build (same packed-key order)."""
+    import shutil
+
+    with in_dir(env):
+        host_dir = str(tmp_path / "idx_host")
+        dev_dir = str(tmp_path / "idx_dev")
+        for d in (host_dir, dev_dir):
+            os.makedirs(d)
+            for f in os.listdir("x_qry"):
+                shutil.copy(os.path.join("x_qry", f), d)
+        index_mod.run_stage2(host_dir, host_dir, 7, dense=False)
+        index_mod.run_stage2(dev_dir, dev_dir, 7, dense=False,
+                             device=True)
+        comp_num = formats.read_mco_stat(host_dir).comp_num
+        for c in range(comp_num):
+            for name in (f"mco.uniq.{c}", f"mco.csroff.{c}", f"mco.{c}"):
+                assert_files_equal(
+                    os.path.join(host_dir, name),
+                    os.path.join(dev_dir, name), name,
+                )
