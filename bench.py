@@ -480,26 +480,10 @@ _SCALING_CHILD = textwrap.dedent("""
     qq_pad[: qq.size] = qq
 
     mesh = Mesh(np.array(jax.devices()).reshape(1, n_dev), ("dp", "ref"))
-    # exact per-device pair capacity (shared helper logic)
-    cap = 64
-    for s in range(n_dev):
-        u, o = db.uniq[s], db.offsets[s]
-        row = np.searchsorted(u, qk_pad)
-        row_c = np.clip(row, 0, u.size - 1)
-        found = (row < u.size) & (u[row_c] == qk_pad) & (qq_pad >= 0)
-        lens = ((o[row_c + 1] - o[row_c]) * found).astype(np.int64)
-        if strategy == "genome":
-            cap = max(cap, int(lens.sum()))
-    if strategy == "code":
-        row = np.searchsorted(key, qk_pad)
-        row_c = np.clip(row, 0, key.size - 1)
-        found = (row < key.size) & (key[row_c] == qk_pad) & (qq_pad >= 0)
-        lens = ((offsets[row_c + 1] - offsets[row_c]) * found).astype(
-            np.int64)
-        shard_of = np.searchsorted(db.row_bounds[1:-1], row_c, "right")
-        cap = max(cap, int(np.bincount(
-            shard_of, weights=lens, minlength=n_dev).max()))
-    capacity = 1 << int(max(cap - 1, 1)).bit_length()
+    # per-device pair capacity via the PRODUCTION helper — the bench
+    # must time kernels compiled at the capacities production uses
+    capacity = sharded_search.estimate_capacity(
+        db, qk_pad[None], qq_pad[None], key, offsets, strategy)
 
     per_col = REF_PER_SHARD if strategy == "genome" else n_ref
     fn = sharded_search.make_sharded_count_fn(

@@ -462,9 +462,19 @@ def species_abundance(
         and os.path.isfile(os.path.join(ref_dir, "mco.uniq.0"))
         and os.path.isfile(os.path.join(ref_dir, formats.MCO_DSTAT))
     ):
-        from public_kssd_tpu import index as index_mod
+        # the sidecar only short-circuits to the device join when the
+        # size heuristic would pick the device anyway — a tiny indexed
+        # DB must keep the millisecond host path, not pay jit compiles
+        # (combco.<c> is 4 B/code: estimate total codes from file sizes)
+        est_codes = sum(
+            os.path.getsize(os.path.join(ref_dir, f"combco.{c}")) // 4
+            for c in range(ref_stat.comp_num)
+            if os.path.isfile(os.path.join(ref_dir, f"combco.{c}"))
+        )
+        if device or est_codes * n_qry >= DEVICE_JOIN_THRESHOLD:
+            from public_kssd_tpu import index as index_mod
 
-        _, ref_components = index_mod.load_sparse_index(ref_dir)
+            _, ref_components = index_mod.load_sparse_index(ref_dir)
     if ref_components is not None:
         if ref_components[0].n_genomes != n_ref:
             raise ValueError(

@@ -58,8 +58,19 @@ class _NpConsts:
 
 
 def supported(params: SketchParams) -> bool:
-    """drtuple (4(k-l) bits) and window halo must fit the tile layout."""
-    return params.drtuple_bits <= 31 and (params.TL - 1) <= LANES
+    """drtuple (4(k-l) bits) and window halo must fit the tile layout.
+
+    TL <= 30 guards the same _accumulate_log level invariant as
+    supported_wide (W = 32 would build a 64-bit level segment and shift
+    by the full register width). Unreachable for narrow geometries under
+    the config validator today (k-l <= 7 with l <= s < 8 forces k <= 14,
+    TL <= 28), but enforced so a future validator change cannot route a
+    W >= 31 geometry into the kernel."""
+    return (
+        params.drtuple_bits <= 31
+        and (params.TL - 1) <= LANES
+        and params.TL <= 30
+    )
 
 
 def supported_wide(params: SketchParams) -> bool:

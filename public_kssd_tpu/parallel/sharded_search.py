@@ -185,9 +185,11 @@ def build_genome_sharded_db(
     column offsets of the global count matrix)."""
     per = -(-max(n_ref, 1) // n_shards)
     owner = gids // np.uint32(per)
-    # row (merged-CSR code index) of every posting
+    # row (merged-CSR code index) of every posting; int32 suffices
+    # (key.size < 2^31) — at GTDB scale the int64 variant alone is a
+    # 3.3 GB transient
     row_of = np.repeat(
-        np.arange(key.size, dtype=np.int64), np.diff(offsets).astype(np.int64)
+        np.arange(key.size, dtype=np.int32), np.diff(offsets).astype(np.int64)
     )
     shard_uniq, shard_offs, shard_gids = [], [], []
     nnz_pad, g_pad = 1, 1
@@ -195,9 +197,19 @@ def build_genome_sharded_db(
         m = owner == s
         rows = row_of[m]
         local = gids[m].astype(np.uint32) - np.uint32(s * per)
-        # postings of one shard keep merged-CSR order: grouped by code
-        # ascending, so unique rows give the shard's CSR directly
-        urows, counts = np.unique(rows, return_counts=True)
+        # postings of one shard keep merged-CSR order: rows is SORTED
+        # nondecreasing, so boundary-diff gives the shard CSR without
+        # np.unique's re-sort
+        if rows.size:
+            change = np.empty(rows.size, bool)
+            change[0] = True
+            np.not_equal(rows[1:], rows[:-1], out=change[1:])
+            first = np.flatnonzero(change)
+            urows = rows[first]
+            counts = np.diff(np.append(first, rows.size))
+        else:
+            urows = rows.astype(np.int64)
+            counts = np.zeros(0, np.int64)
         offs = np.zeros(urows.size + 1, dtype=np.int64)
         np.cumsum(counts, out=offs[1:])
         shard_uniq.append(key[urows])
@@ -356,7 +368,9 @@ def make_sharded_count_fn(
 
     With ``weighted`` the step takes a third uint32 abundance input
     (sharded over dp) and returns a (uint32 counts, uint64 weighted)
-    pair from ONE expansion pass per device.
+    pair; the two kernels share an identical lookup+expansion prefix
+    that XLA deduplicates (CSE) in practice — if a backend fails to,
+    the step pays the expansion twice but stays correct.
 
     n_qry is the PER-DP-SHARD query count; capacity the per-device pair
     budget.
@@ -485,6 +499,59 @@ def sharded_search_counts(
     return out
 
 
+def estimate_capacity(
+    db: ShardedDB, qk_pad: np.ndarray, qq_pad: np.ndarray,
+    key: np.ndarray, offsets: np.ndarray, strategy: str,
+) -> int:
+    """Per-DEVICE matched-pair budget for one batch (power of two): max
+    over (dp block, ref shard) of the pairs a single device expands.
+    Bucketing by the shard owning each matched pair keeps the budget
+    ~1/S of the full-DB pair count (round-1 used the full-DB max, so
+    every device paid the unsharded expansion cost). Shared by the
+    production block counter AND the weak-scaling bench child, so the
+    bench always times kernels compiled at production capacities.
+
+    ``qk_pad``/``qq_pad`` are the [n_dp, L] padded per-dp-block query
+    arrays; ``key``/``offsets`` the MERGED CSR (code strategy's shard
+    attribution needs it)."""
+    n_dp = qk_pad.shape[0]
+    n_ref_shards = db.n_shards
+    cap = 64
+    if strategy == "genome":
+        # per-shard CSRs: a device's pairs = its own local row lengths.
+        # (n_dp x S host searchsorteds per batch; the DB shards are
+        # static but the queries are not, so this is per-batch work —
+        # small next to the device step at realistic batch sizes.)
+        for d in range(n_dp):
+            for s in range(n_ref_shards):
+                u, o = db.uniq[s], db.offsets[s]
+                row = np.searchsorted(u, qk_pad[d])
+                row_c = np.clip(row, 0, u.size - 1)
+                found = (
+                    (row < u.size) & (u[row_c] == qk_pad[d])
+                    & (qq_pad[d] >= 0)
+                )
+                lens = ((o[row_c + 1] - o[row_c]) * found).astype(np.int64)
+                cap = max(cap, int(lens.sum()))
+    else:
+        for d in range(n_dp):
+            row = np.searchsorted(key, qk_pad[d])
+            row_c = np.clip(row, 0, key.size - 1)
+            found = (
+                (row < key.size) & (key[row_c] == qk_pad[d])
+                & (qq_pad[d] >= 0)
+            )
+            lens = ((offsets[row_c + 1] - offsets[row_c]) * found).astype(
+                np.int64
+            )
+            shard_of = np.searchsorted(db.row_bounds[1:-1], row_c, "right")
+            per_shard = np.bincount(
+                shard_of, weights=lens, minlength=n_ref_shards
+            )
+            cap = max(cap, int(per_shard.max()))
+    return 1 << int(max(cap - 1, 1)).bit_length()
+
+
 def _sharded_count_block(
     qk, qq, n_qry: int, key, offsets, db: ShardedDB, db_dev,
     mesh: Mesh, qry_axis: str, ref_axis: str,
@@ -515,42 +582,7 @@ def _sharded_count_block(
         if qw_pad is not None:
             qw_pad[d, : w_.size] = w_
 
-    # capacity: max matching pairs over (dp, ref-shard) PAIRS — the
-    # per-DEVICE pair budget. Bucketing the postings lengths by the
-    # shard owning each matched pair keeps the budget ~1/S of the full-DB
-    # pair count (round-1 used the full-DB max, so every device paid the
-    # unsharded expansion cost).
-    cap = 64
-    if strategy == "genome":
-        # per-shard CSRs: a device's pairs = its own local row lengths
-        for d in range(n_dp):
-            for s in range(n_ref_shards):
-                u, o = db.uniq[s], db.offsets[s]
-                row = np.searchsorted(u, qk_pad[d])
-                row_c = np.clip(row, 0, u.size - 1)
-                found = (
-                    (row < u.size) & (u[row_c] == qk_pad[d])
-                    & (qq_pad[d] >= 0)
-                )
-                lens = ((o[row_c + 1] - o[row_c]) * found).astype(np.int64)
-                cap = max(cap, int(lens.sum()))
-    else:
-        for d in range(n_dp):
-            row = np.searchsorted(key, qk_pad[d])
-            row_c = np.clip(row, 0, key.size - 1)
-            found = (
-                (row < key.size) & (key[row_c] == qk_pad[d])
-                & (qq_pad[d] >= 0)
-            )
-            lens = ((offsets[row_c + 1] - offsets[row_c]) * found).astype(
-                np.int64
-            )
-            shard_of = np.searchsorted(db.row_bounds[1:-1], row_c, "right")
-            per_shard = np.bincount(
-                shard_of, weights=lens, minlength=n_ref_shards
-            )
-            cap = max(cap, int(per_shard.max()))
-    capacity = 1 << int(max(cap - 1, 1)).bit_length()
+    capacity = estimate_capacity(db, qk_pad, qq_pad, key, offsets, strategy)
 
     per_col = (
         -(-n_ref // n_ref_shards) if strategy == "genome" else n_ref

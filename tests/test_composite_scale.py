@@ -215,7 +215,11 @@ def test_csr_sidecar_autoload(tmp_path):
     ref_dir, qry_dir, *_ = _mk_db(tmp_path, n_ref=24, sk=48, n_qry=2, seed=4)
     want = composite.species_abundance(ref_dir, qry_dir, device=False)
     index_mod.run_stage2(ref_dir, ref_dir, 7, dense=False)
-    got = composite.species_abundance(ref_dir, qry_dir)
+    # a DB this small stays on the host path even with the sidecar
+    # present (auto-routing respects DEVICE_JOIN_THRESHOLD) ...
+    assert composite.species_abundance(ref_dir, qry_dir) == want
+    # ... while device=True routes through the CSR sidecar
+    got = composite.species_abundance(ref_dir, qry_dir, device=True)
     assert got == want and want
 
 
