@@ -303,16 +303,18 @@ def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacit
     return counts[:-1].reshape(n_qry, n_ref)
 
 
-def _count_partial_weighted(
+def _count_partial_pair(
     qry_keys, qry_qid, qry_w, uniq, offsets, gids, n_qry, n_ref, capacity,
     bucket=None, bshift=0, bK=1,
 ):
-    """Weighted twin of _count_partial: each matched (query occurrence x
-    posting) pair contributes the query code's abundance (``.a`` counter)
-    — the sharded koc path (semantics of koc_dist_print_nobin,
-    command_dist.c:1080-1160; single-device twin
-    ops.count.count_shared_weighted_device). Returns uint64 so deep
-    postings cannot wrap; the psum stays exact in x64 mode."""
+    """ONE lookup + expansion pass emitting BOTH matrices: the uint32
+    shared counts and the uint64 abundance-weighted counts (each matched
+    pair contributes its query code's ``.a`` counter) — the sharded koc
+    path (semantics of koc_dist_print_nobin, command_dist.c:1080-1160;
+    single-device twin ops.count.count_shared_weighted_device). The
+    single pass is structural, not an XLA-CSE hope: the two scatters
+    share every upstream value. uint64 so deep postings cannot wrap;
+    the psum stays exact in x64 mode."""
     from public_kssd_tpu.ops.count import (
         _lookup_bucket, lookup_method, rank_into,
     )
@@ -339,9 +341,14 @@ def _count_partial_weighted(
     qid = qry_qid[src_c].astype(jnp.int64)
     valid = t < total
     flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint32)
+    counts = counts.at[flat].add(jnp.uint32(1))
     w = jnp.where(valid, qry_w[src_c].astype(jnp.uint64), 0)
-    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint64).at[flat].add(w)
-    return counts[:-1].reshape(n_qry, n_ref)
+    wcounts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint64).at[flat].add(w)
+    return (
+        counts[:-1].reshape(n_qry, n_ref),
+        wcounts[:-1].reshape(n_qry, n_ref),
+    )
 
 
 def make_sharded_count_fn(
@@ -383,11 +390,7 @@ def make_sharded_count_fn(
 
     if weighted:
         def step(qk, qq, qw, uniq, offsets, gids, bucket):
-            partial = _count_partial(
-                qk, qq, uniq[0], offsets[0], gids[0], n_qry, n_ref,
-                capacity, bucket[0], bshift, bK,
-            )
-            wpartial = _count_partial_weighted(
+            partial, wpartial = _count_partial_pair(
                 qk, qq, qw, uniq[0], offsets[0], gids[0],
                 n_qry, n_ref, capacity, bucket[0], bshift, bK,
             )
