@@ -534,7 +534,9 @@ _SCALING_CHILD = textwrap.dedent("""
 _SKETCH_CHILD = textwrap.dedent("""
     import json, os, sys, time
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # ONE device per process: sketching is single-device work, and idle
+    # virtual devices' thread-pool spin inflates the CPU-time metric
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     sys.path.insert(0, sys.argv[1])
     n_proc, pid, coord, data_dir = (
         int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5])
