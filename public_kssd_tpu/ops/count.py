@@ -5,18 +5,27 @@ increments a mmap'ed query x ref counter matrix with OpenMP threads
 (mco_cbdco_nobin_dist, command_dist.c:763-790). The TPU-native version
 turns that into three static-shape data-parallel stages:
 
-  1. row lookup   — binary search of query codes in the CSR unique-code
-                    array (vectorised searchsorted, VPU)
+  1. row lookup   — per query code, the CSR row via a per-DB BUCKET RANK
+                    TABLE (_device_bucket/_lookup_bucket: K ~ 6 bounded
+                    binary-search gathers, independent of DB size);
+                    kernels without a bucket use searchsorted with the
+                    shape-adaptive sort/scan method (lookup_method)
   2. ragged expansion — a capacity-bounded flattening of all (query
-                    occurrence x posting) pairs via cumsum + searchsorted
+                    occurrence x posting) pairs via cumsum + rank_into
+                    (the arange ranking collapses to scatter + cumsum)
   3. histogram    — scatter-add of pair ids into the [n_qry, n_ref]
-                    count matrix
+                    count matrix, downcast to uint16 on device before
+                    the fetch when no cell can overflow
 
 Total work is O(#pairs), the same as the reference's postings walk; there
 is no per-query serial loop and no atomics (the scatter-add is XLA's).
+Measured evolution on a v5e at the 1000x10k config: 1.42 s/call (round-3
+scan searchsorted) -> 0.35 s (sort method + rank_into) -> 0.27 s (bucket
+table); see README's counting-roofline section.
 
-The host wrapper picks the pair capacity from a cheap device prepass and
-pads to power-of-two buckets, so each distinct capacity compiles once.
+The host wrapper learns the pair capacity from each call's true total
+(last slot / pair element) and pads to power-of-two buckets, so each
+distinct capacity compiles once.
 """
 
 from __future__ import annotations
