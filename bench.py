@@ -283,7 +283,7 @@ def bench_counting_roofline() -> None:
             round(model_bytes / dev_s / 1e9, 1) if dev_s else None
         ),
         "fraction_of_hbm_peak": (
-            round(model_bytes / dev_s / HBM_PEAK, 3) if dev_s else None
+            round(model_bytes / dev_s / HBM_PEAK, 5) if dev_s else None
         ),
     }
 
