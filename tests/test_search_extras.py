@@ -436,3 +436,31 @@ def test_device_index_build_identical(env, in_dir, tmp_path):
                     os.path.join(host_dir, name),
                     os.path.join(dev_dir, name), name,
                 )
+
+
+def test_uint16_gate_overflow_fallback():
+    """A query with >= 2^16 codes hitting one genome must produce the
+    true count (the uint16 fetch gate must fall back to uint32 — a
+    wrongly-gated downcast would wrap 70000 to 4464)."""
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.ops import count as count_ops
+
+    n_codes = 70_000
+    n_ref = 64  # n_qry * n_ref >= 2^21 via a wide ref axis
+    n_qry = 1 << 15
+    # genome 0 holds codes 0..n_codes-1; query 0 holds all of them,
+    # remaining queries are empty
+    sp = index_mod.SparseIndex(
+        uniq_codes=np.arange(n_codes, dtype=np.uint32),
+        offsets=np.arange(n_codes + 1, dtype=np.uint64),
+        gids=np.zeros(n_codes, np.uint32),
+        n_genomes=n_ref,
+    )
+    qry = np.arange(n_codes, dtype=np.uint32)
+    qidx = np.zeros(n_qry + 1, np.uint64)
+    qidx[1:] = n_codes  # all codes in query 0
+    assert n_qry * n_ref >= (1 << 21)  # big-matrix gate engaged...
+    assert int(np.diff(qidx).max()) >= (1 << 16)  # ...but must refuse u16
+    got = count_ops.count_shared(qry, qidx, sp, n_qry, True)
+    assert int(got[0, 0]) == n_codes
+    assert int(got.sum()) == n_codes
