@@ -250,3 +250,31 @@ def test_sharded_koc_counts_equal_oracle(db7, dp, ref, strategy, tmp_path):
     np.testing.assert_array_equal(counts_got, counts_want)
     np.testing.assert_array_equal(koc_got, koc_want)
     assert koc_want.sum() > 0 and counts_want.sum() > 0
+
+
+def test_cli_device_index_matches_host(db7, tmp_path):
+    """dist --device-index --no-dense-index through the CLI: artifacts
+    byte-identical to the host-sorted stage II."""
+    import shutil
+
+    from public_kssd_tpu import cli
+
+    root, params, comps, oracle = db7
+    old = os.getcwd()
+    os.chdir(root)
+    try:
+        a, b = str(tmp_path / "ih"), str(tmp_path / "id")
+        for d in (a, b):
+            os.makedirs(d)
+            for f in os.listdir("my_qry"):
+                shutil.copy(os.path.join("my_qry", f), d)
+        assert cli.main(["dist", "-o", a, a, "--no-dense-index"]) == 0
+        assert cli.main(
+            ["dist", "-o", b, b, "--no-dense-index", "--device-index"]
+        ) == 0
+        for name in ("mco.uniq.0", "mco.csroff.0", "mco.0"):
+            with open(os.path.join(a, name), "rb") as fa, \
+                 open(os.path.join(b, name), "rb") as fb:
+                assert fa.read() == fb.read(), name
+    finally:
+        os.chdir(old)
