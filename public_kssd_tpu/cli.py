@@ -403,6 +403,15 @@ def _cmd_dist_inner(args, formats, index, infiles, pipeline, search, stats_ops) 
         pipeline.run_stage1(files, args.outdir, params, perm, opts,
                             mem_gb=args.mmry)
         return 0
+    if args.refpath and _is_mco_dir(args.refpath):
+        # -r <already-indexed dir> with no query args: nothing to do —
+        # say so instead of silently exiting 0 (a raw/-co refpath DID
+        # sketch/index above, which is the reference's index-only use)
+        print(
+            f"{args.refpath} is already indexed and no query was given; "
+            "nothing to do (pass a sketched query dir to search)",
+            file=sys.stderr,
+        )
     return 0
 
 
