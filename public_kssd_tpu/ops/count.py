@@ -421,31 +421,38 @@ def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_qry", "n_ref", "nnz"))
+@functools.partial(
+    jax.jit, static_argnames=("n_qry", "n_ref", "nnz", "q_f32")
+)
 def _count_matmul_device(
     qry_rows, qry_qid, post_rows, post_gids, *,
-    n_qry: int, n_ref: int, nnz: int,
+    n_qry: int, n_ref: int, nnz: int, q_f32: bool = False,
 ):
     """One-hot MXU formulation of shared-k counting:
-    counts = Q[n_qry, nnz] @ M[nnz, n_ref], both one-hot bf16.
+    counts = Q[n_qry, nnz] @ M[nnz, n_ref].
 
     Q[q, i] = #occurrences of unique code i in query q; M[i, r] = 1 iff
-    genome r contains code i. bf16 one-hot entries and f32 accumulation
-    are exact for the count magnitudes involved (< 2^24). Work is
-    n_qry*nnz*n_ref MACs regardless of match density, vs the expansion
-    kernel's O(matched pairs) — so this only wins where the MXU's ~40x
-    flops advantage over VPU scatter beats the density ratio (small
-    n_ref, dense hits). bench.py measures the crossover; see README's
-    counting-roofline section.
+    genome r contains code i. M is one-hot (0/1, exact in bf16); Q
+    carries multiplicities, which bf16's 8-bit mantissa only represents
+    exactly up to 256 — the host wrapper sets ``q_f32`` when any
+    (query, code) multiplicity exceeds that (plausible for raw-read/koc
+    queries), trading MXU rate for exactness (f32 is exact to 2^24).
+    Accumulation is f32 either way. Work is n_qry*nnz*n_ref MACs
+    regardless of match density, vs the expansion kernel's O(matched
+    pairs) — so this only wins where the MXU's ~40x flops advantage
+    over VPU scatter beats the density ratio (small n_ref, dense hits).
+    bench.py measures the crossover; see README's counting-roofline
+    section.
 
     ``qry_rows`` carry nnz (out of range -> dropped) for unmatched
     codes; ``post_rows``/``post_gids`` are the CSR expanded to
     (row, genome) pairs.
     """
-    q = jnp.zeros((n_qry, nnz), jnp.bfloat16)
-    q = q.at[qry_qid, qry_rows].add(jnp.bfloat16(1), mode="drop")
-    m = jnp.zeros((nnz, n_ref), jnp.bfloat16)
-    m = m.at[post_rows, post_gids].add(jnp.bfloat16(1), mode="drop")
+    qdt = jnp.float32 if q_f32 else jnp.bfloat16
+    q = jnp.zeros((n_qry, nnz), qdt)
+    q = q.at[qry_qid, qry_rows].add(qdt(1), mode="drop")
+    m = jnp.zeros((nnz, n_ref), qdt)
+    m = m.at[post_rows, post_gids].add(qdt(1), mode="drop")
     out = jnp.dot(q, m, preferred_element_type=jnp.float32)
     return out.astype(jnp.uint32)
 
@@ -462,8 +469,10 @@ def count_shared_matmul(
     n_qry: int,
 ) -> np.ndarray:
     """MXU (matmul) counting for the small-n_ref regime; identical
-    counts to count_shared. Raises ValueError when the one-hot operands
-    exceed MATMUL_BYTES_BUDGET (use count_shared there)."""
+    counts to count_shared (the Q operand is promoted to f32 when any
+    per-(query, code) multiplicity exceeds bf16's 256-integer exactness
+    limit). Raises ValueError when the one-hot operands exceed
+    MATMUL_BYTES_BUDGET (use count_shared there)."""
     n_ref = sparse_index.n_genomes
     nnz = sparse_index.uniq_codes.size
     ops_bytes = 2 * (n_qry * nnz + nnz * n_ref)
@@ -479,12 +488,20 @@ def count_shared_matmul(
     row_c = np.clip(row, 0, max(nnz - 1, 0))
     found = (row < nnz) & (sparse_index.uniq_codes[row_c] == qry_codes)
     rows = np.where(found, row_c, nnz).astype(np.int32)  # nnz -> dropped
+    # bf16 one-hot entries are exact only to 256; a code occurring more
+    # often in one query (raw-read/koc sketches) silently truncated
+    # before — detect the multiplicity ceiling and promote Q to f32
+    q_f32 = False
+    if found.any():
+        pair_keys = qid_of[found].astype(np.int64) * (nnz + 1) + rows[found]
+        _, mult = np.unique(pair_keys, return_counts=True)
+        q_f32 = bool(mult.max() > 256)
     lens = np.diff(sparse_index.offsets).astype(np.int64)
     post_rows = np.repeat(np.arange(nnz, dtype=np.int32), lens)
     out = _count_matmul_device(
         jnp.asarray(rows), jnp.asarray(qid_of),
         jnp.asarray(post_rows), jnp.asarray(sparse_index.gids.astype(np.int32)),
-        n_qry=n_qry, n_ref=n_ref, nnz=nnz,
+        n_qry=n_qry, n_ref=n_ref, nnz=nnz, q_f32=q_f32,
     )
     return np.asarray(out)
 

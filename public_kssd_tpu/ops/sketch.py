@@ -147,6 +147,12 @@ def sketch_windows_compact(
     if use_pallas:
         # wide (32..60-bit) Pallas dense kernel; requires n % LANES == 0
         # (the wide streaming path pads its chunks to pow2 buckets)
+        if computed is None:
+            raise ValueError(
+                "use_pallas=True requires a computed (Feistel) shuffle "
+                "space — the Pallas kernel evaluates the permutation "
+                "in-register and cannot gather from a shuffled_dim table"
+            )
         from public_kssd_tpu.ops import pallas_sketch
 
         dense = pallas_sketch.sketch_windows_pallas_wide(

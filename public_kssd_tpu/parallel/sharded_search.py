@@ -313,8 +313,10 @@ def _count_partial_pair(
     path (semantics of koc_dist_print_nobin, command_dist.c:1080-1160;
     single-device twin ops.count.count_shared_weighted_device). The
     single pass is structural, not an XLA-CSE hope: the two scatters
-    share every upstream value. uint64 so deep postings cannot wrap;
-    the psum stays exact in x64 mode."""
+    share every upstream value. uint64 so deep postings cannot wrap; the
+    code-strategy merge decomposes it into uint32 planes for the
+    collective (make_sharded_count_fn.merge_u64) so no backend needs a
+    64-bit integer all-reduce."""
     from public_kssd_tpu.ops.count import (
         _lookup_bucket, lookup_method, rank_into,
     )
@@ -388,13 +390,33 @@ def make_sharded_count_fn(
     def merge(x):
         return x if genome else jax.lax.psum(x, ref_axis)
 
+    def merge_u64(x):
+        # 64-bit integer all-reduce relies on XLA's 2x32 emulation on
+        # real TPU backends (only exercised on CPU in CI) — decompose
+        # into three 22-bit planes instead: each uint32 plane psum is
+        # native and exact for up to 2^10 shards (plane sums stay under
+        # 2^32), and the recombination is carry-free in uint64.
+        if genome:
+            return x
+        m = jnp.uint64(0x3FFFFF)
+        planes = [
+            jax.lax.psum(
+                ((x >> jnp.uint64(22 * i)) & m).astype(jnp.uint32), ref_axis
+            ).astype(jnp.uint64)
+            for i in range(3)
+        ]
+        return (
+            planes[0] + (planes[1] << jnp.uint64(22))
+            + (planes[2] << jnp.uint64(44))
+        )
+
     if weighted:
         def step(qk, qq, qw, uniq, offsets, gids, bucket):
             partial, wpartial = _count_partial_pair(
                 qk, qq, qw, uniq[0], offsets[0], gids[0],
                 n_qry, n_ref, capacity, bucket[0], bshift, bK,
             )
-            return merge(partial), merge(wpartial)
+            return merge(partial), merge_u64(wpartial)
 
         fn = shard_map(
             step,

@@ -333,6 +333,30 @@ def test_count_matmul_matches_expansion():
         count_ops.count_shared_matmul(qry, qidx, big, 1 << 12)
 
 
+def test_count_matmul_exact_above_bf16_multiplicity():
+    """A code occurring >256 times in one query (raw-read/koc regime)
+    exceeds bf16's integer-exactness limit in the one-hot Q operand —
+    the wrapper must promote to f32 and stay exact (advisor r4)."""
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.ops import count as count_ops
+
+    rng = np.random.default_rng(9)
+    n_ref, sk = 8, 32
+    ref = rng.integers(0, 1 << 12, size=(n_ref, sk), dtype=np.uint64)
+    sp = index_mod.build_component_index(
+        np.sort(ref, axis=1).ravel().astype(np.uint32),
+        np.arange(n_ref + 1, dtype=np.uint64) * sk, n_ref)
+    # one query whose codes are 500 copies of a single indexed code
+    code = sp.uniq_codes[0]
+    qry = np.full(500, code, dtype=np.uint32)
+    qidx = np.array([0, qry.size], dtype=np.uint64)
+    want = count_ops.count_shared_np(
+        qry, qidx, sp.uniq_codes, sp.offsets, sp.gids, 1, n_ref)
+    assert want.max() >= 500  # the regime bf16 silently truncated
+    got = count_ops.count_shared_matmul(qry, qidx, sp, 1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_count_device16_matches_oracle():
     """The uint16-fetch kernel variant (big-matrix gate) must equal the
     oracle exactly; exercised directly since tests are below the gate."""

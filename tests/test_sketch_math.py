@@ -95,3 +95,21 @@ def test_canonical_strand_invariance():
     a = np.sort(sketch_codes_host(seq, shuffled_dim, p))
     b = np.sort(sketch_codes_host(rc, shuffled_dim, p))
     np.testing.assert_array_equal(a, b)
+
+
+def test_compact_use_pallas_requires_computed():
+    """sketch_windows_compact(use_pallas=True) without a computed
+    (Feistel) space must raise a clear ValueError at trace time, not an
+    AttributeError on computed.seed (advisor r4)."""
+    import jax.numpy as jnp
+
+    from public_kssd_tpu.ops import sketch as sketch_ops
+
+    p = SketchParams(id=1, half_ctx_len=8, half_subctx_len=5, drlevel=2)
+    rng = np.random.default_rng(11)
+    shuffled_dim = jnp.asarray(rng.permutation(p.dim_shuf_len).astype(np.int32))
+    symbols = jnp.asarray(rng.integers(0, 4, size=512).astype(np.uint8))
+    with pytest.raises(ValueError, match="computed"):
+        sketch_ops.sketch_windows_compact(
+            symbols, shuffled_dim, p, 64, None, use_pallas=True
+        )
