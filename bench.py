@@ -52,8 +52,23 @@ GTDB_DIR = "/tmp/kssd_bench_gtdb"
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+# every _emit lands here keyed by metric; the LAST stdout line of the
+# run is a single compact summary holding ALL of it, so the driver's
+# tail capture / `parsed` field carry the full round record even when
+# earlier stdout is truncated (round-4 lost every non-headline metric
+# that way). The same record is also written to bench_results.json.
+RESULTS: dict[str, dict] = {}
+
+
 def _emit(obj) -> None:
     print(json.dumps(obj), flush=True)
+    if isinstance(obj, dict) and "metric" in obj:
+        RESULTS[obj["metric"]] = obj
+        try:
+            with open(os.path.join(REPO, "bench_results.json"), "w") as f:
+                json.dump(RESULTS, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: stdout is still the record
 
 
 def _guard(name: str, fn) -> None:
@@ -213,7 +228,7 @@ def bench_counting_roofline() -> None:
         matrix touch (8 B/cell) + query lookup (16 B/code). Achieved
         fraction-of-peak = modeled bytes / device time / HBM_PEAK.
     (b) MXU one-hot matmul alternative vs the expansion kernel at small
-        n_ref (128/512/2048) to locate the crossover.
+        n_ref (128/512/1024) to locate the crossover.
     """
     import jax
     import jax.numpy as jnp
@@ -428,6 +443,183 @@ def bench_gtdb() -> None:
     })
 
 
+PCIE_BW = 1.5e10  # bytes/s, PCIe gen3 x16 — a real TPU host's
+# device link (this environment's ~30-50 MB/s tunnel stands in for it)
+
+
+def bench_host_io() -> None:
+    """Host-side speed-of-light for stage I, NO device in the loop
+    (VERDICT r4 #4): the round-4 claim that the 3.2-3.5x headline is
+    tunnel-bound 'and on a real host the pipeline becomes
+    host-decompression-bound' was narrative — this measures it. Three
+    terms, separately:
+
+      parse   gz inflate + fasta scan -> symbol stream (zlib via
+              threads; the native scanner releases the GIL), measured
+              at 1 worker (per-core rate) and at the box's 2 cores
+              (thread-scaling check: zlib+scanner threads are the
+              process-pool answer on any core count)
+      pack    2-bit packing of the symbol stream (ops.sketch.pack2)
+      upload  packed bytes / PCIe bw (analytic on a real host; the
+              measured tunnel MBps is in sketch_stage_breakdown)
+
+    plus the projected genomes/s/chip on a real PCIe host:
+    pipelined = min(parse_total, pack, upload, kernel) with every term
+    printed so a pod run can falsify each one independently.
+    """
+    from public_kssd_tpu import pipeline
+    from public_kssd_tpu.ops import sketch as sketch_ops
+
+    paths = _make_data()[2 : 2 + N_TIMED]
+    opts = pipeline.SketchOptions()
+
+    def parse_all(workers: int) -> tuple[float, int]:
+        best, bases = math.inf, 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            bases = sum(
+                s.size for _, _, s in pipeline.parsed_streams(
+                    paths, opts, workers=workers
+                )
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best, bases
+
+    t1, bases = parse_all(1)
+    tn, _ = parse_all(os.cpu_count() or 2)
+    syms = [s for _, _, s in pipeline.parsed_streams(paths, opts)]
+    t0 = time.perf_counter()
+    packed_bytes = 0
+    for s in syms:
+        total = 1 << max(int(s.size - 1).bit_length(), 6)
+        packed_bytes += sketch_ops.pack2(s, total).nbytes
+    t_pack = time.perf_counter() - t0
+
+    parse_core = bases / t1 / 1e6  # Mbases/s on ONE core
+    parse_box = bases / tn / 1e6
+    pack_rate = bases / t_pack / 1e6
+    upload_rate = PCIE_BW * 4 / 1e6  # Mbases/s at 2 bits/base
+    kernel = RESULTS.get("sketch_stage_breakdown", {}).get(
+        "pallas_kernel_gbases_per_s"
+    )
+    kernel_rate = kernel * 1e3 if kernel else None  # Mbases/s
+    terms = [parse_box, pack_rate, upload_rate] + (
+        [kernel_rate] if kernel_rate else []
+    )
+    pipelined = min(terms)
+    genome_mbases = GENOME_MB  # 1 base = 1 byte of fasta body here
+    _emit({
+        "metric": "host_io_speed_of_light",
+        "value": round(pipelined / genome_mbases, 1),
+        "unit": "projected genomes/s/chip on a real PCIe host = "
+                "min(parse, pack, upload, kernel) Mbases/s / genome "
+                "(5.3 Mb gz genomes; parse measured with no device in "
+                "the loop, upload analytic at PCIe gen3 x16, kernel "
+                "from the breakdown's K-chain slope)",
+        "parse_mbases_per_s_1core": round(parse_core, 1),
+        "parse_mbases_per_s_box": round(parse_box, 1),
+        "parse_thread_scaling": round(parse_box / parse_core, 2),
+        "pack_mbases_per_s": round(pack_rate, 1),
+        "upload_mbases_per_s_pcie": round(upload_rate, 1),
+        "kernel_mbases_per_s": (
+            round(kernel_rate, 1) if kernel_rate else None
+        ),
+        "bottleneck": ["parse", "pack", "upload", "kernel"][
+            terms.index(min(terms))
+        ],
+        "note": "parse threads scale with cores (zlib + native scanner "
+                "release the GIL): per-chip projection assumes host "
+                "cores >= parse_box/parse_core x (chip Mbases/s / "
+                "parse_core)",
+    })
+
+
+def bench_gtdb_realskew() -> None:
+    """The GTDB flagship against the REAL size distribution (VERDICT r4
+    next-round #5): /root/reference/.../combco.index.0 preserves the
+    65,702 real species-group sketch sizes (19.7M codes, median 251 /
+    mean 300 / max 23,925 — 80x skew). Codes are synthetic (the blobs
+    are gone) but every ragged shape downstream — CSR row lengths,
+    genome-block padding, the postings-balanced code cut — is the real
+    database's. Reports search pairs/s, composite wall, and the
+    padding-waste factors of BOTH sharding strategies at S=8 that the
+    uniform synthetic DB could never stress."""
+    from public_kssd_tpu import (
+        composite, formats, index as index_mod, search, synthdb,
+    )
+    from public_kssd_tpu.parallel import sharded_search
+
+    sizes = synthdb.real_gtdb_sizes()
+    n_ref = sizes.size
+    skew_dir = GTDB_DIR + "_skew"
+    ref = os.path.join(skew_dir, "ref")
+    qry = os.path.join(skew_dir, "qry")
+    koc = os.path.join(skew_dir, "koc")
+    n_qry, n_koc, qry_sk = 64, 8, 1300
+    synthdb.build_synth_ref_sizes(ref, sizes, seed=31)
+    synthdb.build_synth_queries(qry, ref, n_qry, qry_sk, seed=32)
+    synthdb.build_synth_queries(koc, ref, n_koc, qry_sk, seed=33, koc=True)
+    if not os.path.isfile(os.path.join(ref, "mco.uniq.0")):
+        index_mod.run_stage2(ref, ref, 7, dense=False)
+
+    _, comps = index_mod.load_sparse_index(ref)
+    counts = np.zeros((n_qry, n_ref), dtype=np.uint32)
+    batch = search.query_batch_size(n_qry, n_ref, 16.0)
+    search.compute_shared_counts(qry, comps, n_qry, True,
+                                 counts_out=counts, batch=batch)
+    t0 = time.perf_counter()
+    search.compute_shared_counts(qry, comps, n_qry, True,
+                                 counts_out=counts, batch=batch)
+    t_count = time.perf_counter() - t0
+    pairs = n_qry * n_ref
+    _emit({
+        "metric": "gtdb_realskew_search_pairs_per_s_per_chip",
+        "value": round(pairs / t_count, 1),
+        "unit": f"genome pairs/s ({n_qry} qry x {n_ref} species groups, "
+                "REAL per-group sketch sizes from combco.index.0, "
+                f"{int(sizes.sum())} postings)",
+        "vs_baseline": round((pairs / t_count) / BASELINE_PAIRS_PER_S, 3),
+        "checksum": int(counts[:4].sum()),
+    })
+
+    t0 = time.perf_counter()
+    rep = composite.species_abundance(ref, koc, ref_components=comps)
+    t_comp = time.perf_counter() - t0
+    _emit({
+        "metric": "gtdb_realskew_composite_wall_s",
+        "value": round(t_comp, 1),
+        "unit": f"seconds for {n_koc} koc queries vs the real-skew "
+                "65,702-group DB via the CSR join",
+        "report_rows": rep.count("\n"),
+    })
+
+    # sharding balance under REAL skew at S=8: the genome strategy cuts
+    # by genome count (skewed per-genome sizes unbalance its postings),
+    # the code strategy cuts by postings mass (balanced by design) —
+    # waste factor = padded size / ideal size, the HBM multiplier every
+    # device pays because shard_map needs uniform blocks
+    sp = comps[0]
+    key, offsets, gids = sharded_search.merge_components([sp], 0)
+    S = 8
+    out = {"metric": "gtdb_realskew_shard_balance_x8", "value": None,
+           "unit": "padded/ideal HBM factor per strategy at S=8 under "
+                   "the real GTDB size skew (rows=CSR rows, "
+                   "postings=gid array)"}
+    for strat, builder in (
+        ("genome", sharded_search.build_genome_sharded_db),
+        ("code", sharded_search.build_sharded_db),
+    ):
+        db = builder(key, offsets, gids, n_ref, S)
+        out[strat] = {
+            "rows_waste": round(S * db.uniq.shape[1] / max(key.size, 1), 3),
+            "postings_waste": round(
+                S * db.gids.shape[1] / max(int(offsets[-1]), 1), 3
+            ),
+        }
+    out["value"] = out["genome"]["postings_waste"]
+    _emit(out)
+
+
 _SCALING_CHILD = textwrap.dedent("""
     # WEAK-scaling probe: per-device DB shard FIXED (ref_per_shard
     # genomes), query set fixed; argv = n_dev repo strategy.
@@ -441,8 +633,17 @@ _SCALING_CHILD = textwrap.dedent("""
     n_dev = int(sys.argv[1])
     strategy = sys.argv[3]
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # SINGLE-THREADED execution per device: with the default intra-op
+    # thread pool the N=1 baseline burns extra CPU in partitioning and
+    # spin-wait that the per-device work at N=8 does not pay pro-rata,
+    # which pushed the round-4 control BELOW the free-sharding floor
+    # (inflation 0.59-0.69 < 1.0 — a free decomposition cannot use less
+    # total CPU than its own baseline). One thread per unit of work
+    # makes CPU-seconds a clean work measure at every N.
     os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={n_dev}"
+        f"--xla_force_host_platform_device_count={n_dev} "
+        "--xla_cpu_multi_thread_eigen=false "
+        "intra_op_parallelism_threads=1"
     )
     sys.path.insert(0, sys.argv[2])
     import jax
@@ -512,21 +713,44 @@ _SCALING_CHILD = textwrap.dedent("""
 
     out = np.asarray(fn(qk_dev, qq_dev, *db_dev))  # warm (compile done)
     checksum = int(out[:, :n_ref].sum())
+
+    def cpu_now():
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return ru.ru_utime + ru.ru_stime
+
+    # empty-step control: a trivial shard_map over the SAME mesh/axes
+    # measures the fixed per-step dispatch cost so the record shows how
+    # small it is next to the real step (it is NOT subtracted — the
+    # single-thread setting already removes the baseline bias)
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P2
+    tiny = jax.make_array_from_callback(
+        (n_dev, 8), NamedSharding(mesh, P2("ref", None)),
+        lambda i: np.ones((1, 8), np.float32))
+    efn = jax.jit(sharded_search.shard_map(
+        lambda x: x + 1.0, mesh=mesh,
+        in_specs=(P2("ref", None),), out_specs=P2("ref", None)))
+    jax.block_until_ready(efn(tiny))
+    c0 = cpu_now()
+    for _ in range(10):
+        jax.block_until_ready(efn(tiny))
+    empty_cpu = (cpu_now() - c0) / 10
+
     # timed region: the SPMD step only (block_until_ready, no host
     # fetch) — on a real pod each host fetches just its own output
     # shard, so the O(N) whole-matrix host copy is not part of the
     # scaled step
     walls = []
-    ru0 = resource.getrusage(resource.RUSAGE_SELF)
+    c0 = cpu_now()
     for _ in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(qk_dev, qq_dev, *db_dev))
         walls.append(time.perf_counter() - t0)
-    ru1 = resource.getrusage(resource.RUSAGE_SELF)
-    cpu = (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime)
+    cpu = cpu_now() - c0
     print(json.dumps({
         "n_dev": n_dev, "strategy": strategy, "wall_s": min(walls),
-        "cpu_s_per_step": cpu / 3, "allreduce_bytes": ar_bytes,
+        "cpu_s_per_step": cpu / 3, "empty_step_cpu_s": empty_cpu,
+        "allreduce_bytes": ar_bytes,
         "capacity": capacity, "n_ref": n_ref, "checksum": checksum,
     }))
 """)
@@ -534,9 +758,16 @@ _SCALING_CHILD = textwrap.dedent("""
 _SKETCH_CHILD = textwrap.dedent("""
     import json, os, sys, time
     os.environ["JAX_PLATFORMS"] = "cpu"
-    # ONE device per process: sketching is single-device work, and idle
-    # virtual devices' thread-pool spin inflates the CPU-time metric
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # ONE device per process AND one XLA thread: the 1-process baseline
+    # otherwise spreads each op over both host cores and burns extra
+    # CPU in partitioning/spin that the 2-process run cannot, which
+    # drove the round-4 control below 1.0 (cpu_2proc < cpu_1proc for a
+    # free split — impossible for a clean work measure)
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=1 "
+        "--xla_cpu_multi_thread_eigen=false "
+        "intra_op_parallelism_threads=1"
+    )
     sys.path.insert(0, sys.argv[1])
     n_proc, pid, coord, data_dir = (
         int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5])
@@ -597,18 +828,21 @@ DCN_BW_HOST = 2.5e10  # bytes/s per host egress (order of magnitude)
 
 def bench_scaling() -> None:
     """WEAK-scaling study on CPU subprocesses (no pod here): per-device
-    DB shard fixed at 12.5k genomes, fixed 512-query batch, mesh (1, N).
+    DB shard fixed at 12.5k genomes, fixed 4096-query batch, mesh (1, N),
+    every child SINGLE-THREADED per device (see _SCALING_CHILD: the
+    default intra-op pool biased the round-4 N=1 baseline and pushed the
+    control below the free-sharding floor).
 
     Three falsifiable quantities per sharding strategy:
-      * cpu_inflation = cpu_N / cpu_1 per step. The per-device work is
-        constant by construction, so a free decomposition gives N x the
-        total CPU at N devices -> per-STEP process-CPU seconds would
-        grow ~linearly with N only from sharding overhead IF divided
-        out; we report cpu_N/step / (N * cpu_1-per-shard-equivalent) =
-        cpu_s_per_step[N] / (N * cpu_s_per_step[1]). 1.0 = free
-        sharding. CPU time is contention-free (wall on 2 oversubscribed
-        cores is not, which made the old fixed-work proxy
-        uninformative).
+      * cpu_inflation = cpu_s_per_step[N] / (N * cpu_s_per_step[1]).
+        The per-device work is constant by construction, so a free
+        decomposition gives exactly N x the total CPU at N devices;
+        1.0 = free sharding, and < 0.9 is an INVALID measurement (a
+        free decomposition cannot beat its own baseline) — the emit
+        carries a ``control`` verdict instead of silently publishing.
+        Each N runs in >= 3 fresh processes; the headline uses min CPU
+        (contention noise only ever adds CPU) and the record carries
+        min/median/max so the spread is visible next to the effect.
       * allreduce_bytes: counted from the COMPILED HLO of the step.
         genome strategy must be 0; code strategy must equal the psum
         partial (n_qry x n_ref x 4 B, up to compiler fusion).
@@ -620,11 +854,13 @@ def bench_scaling() -> None:
     os.makedirs(DATA_DIR, exist_ok=True)
     with open(script, "w") as f:
         f.write(_SCALING_CHILD)
+    reps = 3
     for strategy in ("genome", "code"):
         res: dict[int, dict] = {}
+        spread: dict[int, list[float]] = {}
         for n_dev in (1, 2, 4, 8):
-            best = None
-            for _ in range(2):  # min-of-2 fresh processes vs jitter
+            runs = []
+            for _ in range(reps):
                 out = subprocess.run(
                     [sys.executable, script, str(n_dev), REPO, strategy],
                     env=_clean_cpu_env(), capture_output=True, text=True,
@@ -632,15 +868,32 @@ def bench_scaling() -> None:
                 )
                 if out.returncode != 0:
                     raise RuntimeError(out.stderr[-1000:])
-                r = json.loads(out.stdout.strip().splitlines()[-1])
-                if best is None or r["cpu_s_per_step"] < best["cpu_s_per_step"]:
-                    best = r
-            res[n_dev] = best
+                runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+            runs.sort(key=lambda r: r["cpu_s_per_step"])
+            res[n_dev] = runs[0]
+            spread[n_dev] = [r["cpu_s_per_step"] for r in runs]
         cpu1 = res[1]["cpu_s_per_step"]
+        cpu1_max = spread[1][-1]
         inflation = {
             n: round(res[n]["cpu_s_per_step"] / (n * cpu1), 3)
             for n in (2, 4, 8)
         }
+        # the full cross-run band: min-N/max-1 .. max-N/min-1
+        band = {
+            n: [
+                round(spread[n][0] / (n * cpu1_max), 3),
+                round(spread[n][-1] / (n * cpu1), 3),
+            ]
+            for n in (2, 4, 8)
+        }
+        # control self-check: < 0.9 at any N means the instrument is
+        # measuring baseline overhead, not sharding cost (round-4 bug)
+        control = (
+            "ok"
+            if all(v >= 0.9 for v in inflation.values())
+            else "FAILED: inflation < 0.9 (free-sharding floor) — "
+                 "measurement invalid, do not quote"
+        )
         # analytic ICI collective seconds per step at the GTDB flagship
         # shape (64-query batch x 317k refs, uint32)
         payload = 64 * 317_000 * 4
@@ -655,14 +908,17 @@ def bench_scaling() -> None:
             "value": inflation[8],
             "unit": "cpu_s_per_step(N)/(N*cpu_s_per_step(1)) at N=8, "
                     "fixed 12.5k-genome shard/device, 4096 queries, "
-                    "(1,N) cpu mesh. 1.0 = free sharding; CPU-seconds "
-                    "are contention-free unlike wall on 2 shared cores. "
-                    "North star: >=80% linear scaling => inflation "
-                    "<= 1.25 on a real pod",
+                    "(1,N) cpu mesh, 1 thread/device. 1.0 = free "
+                    "sharding; min CPU of 3 fresh processes per N, "
+                    "band = cross-run envelope. North star: >=80% "
+                    "linear scaling => inflation <= 1.25 on a real pod",
+            "control": control,
             "per_n": {str(n): inflation[n] for n in inflation},
-            "cpu_s_per_step": {
-                str(n): round(res[n]["cpu_s_per_step"], 3) for n in res
+            "per_n_band": {str(n): band[n] for n in band},
+            "cpu_s_per_step_min_med_max": {
+                str(n): [round(v, 3) for v in spread[n]] for n in spread
             },
+            "empty_step_cpu_s": round(res[8]["empty_step_cpu_s"], 4),
             "wall_s": {str(n): round(res[n]["wall_s"], 2) for n in res},
             "allreduce_bytes_per_step": {
                 str(n): res[n]["allreduce_bytes"] for n in res
@@ -702,24 +958,41 @@ def bench_scaling() -> None:
             cpus.append(r["cpu_s"])
         return max(walls), sum(cpus)
 
-    t1, c1 = run_procs(1)
-    t2, c2 = run_procs(2)
     # fixed total work (8 genomes) split 1 vs 2 processes: total CPU
     # seconds are contention-free, so c2/c1 is the true decomposition
-    # overhead (jax.distributed init, per-process compile, split file
-    # IO); 1.0 = free split. Wall on 2 shared cores is context only.
+    # overhead (jax.distributed init barrier, split file IO); 1.0 =
+    # free split. Children run single-XLA-thread (see _SKETCH_CHILD) so
+    # the 1-proc baseline is not inflated by intra-op parallelism — the
+    # round-4 instrument measured 0.649 (< 1.0, an impossible value for
+    # a free split) for exactly that reason. 3 reps, min CPU per arm.
+    runs1 = [run_procs(1) for _ in range(3)]
+    runs2 = [run_procs(2) for _ in range(3)]
+    c1 = min(c for _, c in runs1)
+    c2 = min(c for _, c in runs2)
+    c1_max = max(c for _, c in runs1)
+    c2_max = max(c for _, c in runs2)
+    infl = round(c2 / c1, 3) if c1 else 0.0
     _emit({
         "metric": "sketch_2proc_split_cpu_inflation",
-        "value": round(c2 / c1, 3) if c1 else 0.0,
+        "value": infl,
         "unit": "total CPU-s of 2 jax.distributed processes / 1 process, "
-                "same 8 genomes (1.0 = free split; contention-free "
-                "measure — wall on 2 shared cores cannot separate "
-                "contention from overhead). North star >=80% scaling "
-                "=> inflation <= 1.25",
+                "same 8 genomes, 1 XLA thread per process (1.0 = free "
+                "split; contention-free measure). min of 3 reps per "
+                "arm; band = cross-run envelope. North star >=80% "
+                "scaling => inflation <= 1.25",
+        "control": (
+            "ok" if infl >= 0.9
+            else "FAILED: inflation < 0.9 (free-split floor) — "
+                 "measurement invalid, do not quote"
+        ),
+        "band": [
+            round(c2 / c1_max, 3) if c1_max else 0.0,
+            round(c2_max / c1, 3) if c1 else 0.0,
+        ],
         "cpu_1proc_s": round(c1, 2),
         "cpu_2proc_s": round(c2, 2),
-        "wall_1proc_s": round(t1, 2),
-        "wall_2proc_s": round(t2, 2),
+        "wall_1proc_s": round(min(t for t, _ in runs1), 2),
+        "wall_2proc_s": round(min(t for t, _ in runs2), 2),
     })
 
 
@@ -956,6 +1229,7 @@ def main() -> None:
         lambda: bench_sketch_breakdown(timed, params, shuffled_dev),
     )
 
+    _guard("host_io_speed_of_light", bench_host_io)
     _guard("sketch_pairs_per_s_per_chip_10k", lambda: bench_counting())
     _guard(
         "sketch_pairs_per_s_per_chip_100k",
@@ -963,10 +1237,27 @@ def main() -> None:
     )
     _guard("counting_roofline", bench_counting_roofline)
     _guard("gtdb317k", bench_gtdb)
+    _guard("gtdb_realskew", bench_gtdb_realskew)
     _guard("scaling_proxies", bench_scaling)
 
-    for obj in headline:  # re-emit: the HEADLINE must be the last line
-        _emit(obj)
+    # FINAL LINE = headline record + ALL metrics (compact, unit strings
+    # stripped): the driver keeps only a stdout tail and parses the last
+    # line, so this one line must carry the whole round's evidence —
+    # round 4's tail truncated mid-run and lost every README headline
+    # except sketching.
+    def _strip(obj):
+        if isinstance(obj, dict):
+            return {k: _strip(v) for k, v in obj.items() if k != "unit"}
+        return obj
+
+    summary = dict(headline[0]) if headline else {
+        "metric": "bench_summary", "value": None,
+    }
+    summary["all"] = {
+        k: _strip(v) for k, v in RESULTS.items()
+        if k != summary.get("metric")
+    }
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
