@@ -111,3 +111,26 @@ def test_wide_geometry_accepts_stream_iterators():
     pieces = [sym[:7000], sym[7000:15000], sym[15000:]]
     streamed = sketch_ops.sketch_codes_multi([iter(pieces)], shuf, params)[0]
     np.testing.assert_array_equal(streamed, whole)
+
+
+def test_libdeflate_gzip_decompress_identical():
+    """The libdeflate fast path must be byte-identical to zlib on
+    single-member, multi-member and empty gz buffers, and fall back
+    cleanly when the library is absent."""
+    import gzip
+
+    from public_kssd_tpu import seqio
+
+    rng = np.random.default_rng(3)
+    body = rng.integers(65, 91, size=1 << 18, dtype=np.uint8).tobytes()
+    comp = gzip.compress(body, compresslevel=1)
+    assert seqio.gzip_decompress(comp) == body
+    assert seqio.gzip_decompress(comp + comp) == body + body  # multi-member
+    assert seqio.gzip_decompress(gzip.compress(b"")) == b""
+    # forced-fallback path (library absent)
+    saved = seqio._LIBDEFLATE
+    try:
+        seqio._LIBDEFLATE = None
+        assert seqio.gzip_decompress(comp) == body
+    finally:
+        seqio._LIBDEFLATE = saved
