@@ -50,6 +50,56 @@ def build_synth_ref(
     ))
 
 
+REAL_GTDB_INDEX = (
+    "/root/reference/data/specuq_grp_gtdb317kgenome_kssd/combco.index.0"
+)
+
+
+def real_gtdb_sizes(index_path: str = REAL_GTDB_INDEX) -> np.ndarray:
+    """The surviving REAL per-species-group sketch sizes of the GTDB
+    317k-genome database (SURVEY.md C17): combco.index.0 holds 65,703
+    uint64 cumulative offsets = 65,702 group sizes (total 19.7M codes,
+    median 251, mean 300, max 23,925 — an 80x skew the uniform
+    synthetic DB cannot exhibit). This is the one reference artifact
+    that survived the large-blob purge, and the size distribution is
+    what stresses genome-block padding and the postings-balanced code
+    cut (parallel/sharded_search.py)."""
+    idx = np.fromfile(index_path, dtype="<u8")
+    return np.diff(idx.astype(np.int64))
+
+
+def build_synth_ref_sizes(
+    out_dir: str,
+    sizes: np.ndarray,
+    seed: int = 0,
+    space_bits: int = SPACE_BITS,
+    params_id: int = 9,
+    kmerlen: int = 20,
+    dim_rd_len: int = 6,
+) -> None:
+    """Write a synthetic reference sketch dir with PER-GENOME sketch
+    sizes from ``sizes`` (e.g. real_gtdb_sizes()): same artifact path as
+    build_synth_ref, real skew."""
+    if os.path.isfile(os.path.join(out_dir, formats.CO_DSTAT)):
+        return  # cached
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n_ref = sizes.size
+    total = int(sizes.sum())
+    codes = rng.integers(0, 1 << space_bits, size=total, dtype=np.uint32)
+    index = np.zeros(n_ref + 1, dtype=np.uint64)
+    np.cumsum(sizes, out=index[1:].view(np.int64))
+    formats.write_combco(out_dir, 0, codes, index)
+    formats.write_co_stat(out_dir, formats.CoStat(
+        params_id=params_id, koc=False, kmerlen=kmerlen,
+        dim_rd_len=dim_rd_len, comp_num=1, infile_num=n_ref,
+        all_ctx_ct=total,
+        ctx_ct=sizes.astype(np.uint32),
+        names=[f"g{i:06d}" for i in range(n_ref)],
+    ))
+
+
 def build_synth_queries(
     out_dir: str,
     ref_dir: str,
@@ -78,12 +128,20 @@ def build_synth_queries(
     total = n_qry * sketch_sz
     codes = rng.integers(0, 1 << space_bits, size=total, dtype=np.uint32)
     hit = rng.random(total) < hit_rate
-    ref_sk = int(ref_stat.ctx_ct[0])  # synth refs are uniform-size
-    picks = rng.integers(0, ref_stat.infile_num, size=(n_qry, focus_refs))
+    # per-ref sketch sizes from the stat (uniform OR skewed builds):
+    # sample each planted code uniformly within the picked genome's
+    # combco range, skipping empty groups (real GTDB has some)
+    sizes = ref_stat.ctx_ct.astype(np.int64)
+    starts = np.zeros(sizes.size + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    nonempty = np.flatnonzero(sizes > 0)
+    picks = nonempty[
+        rng.integers(0, nonempty.size, size=(n_qry, focus_refs))
+    ]
     which = rng.integers(0, focus_refs, size=(n_qry, sketch_sz))
     gsel = np.take_along_axis(picks, which, axis=1)
-    offs = rng.integers(0, ref_sk, size=(n_qry, sketch_sz))
-    src = (gsel.astype(np.int64) * ref_sk + offs).ravel()
+    offs = rng.integers(0, sizes[gsel])
+    src = (starts[gsel] + offs).ravel()
     codes[hit] = ref_codes[src[hit]]
     index = np.arange(n_qry + 1, dtype=np.uint64) * sketch_sz
     abund = (

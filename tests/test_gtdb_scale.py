@@ -78,3 +78,36 @@ def test_gtdb_317k_composite(gtdb):
     dev = composite.species_abundance(ref_dir, koc_dir, device=True)
     assert dev == host
     assert host.count("\n") >= N_QRY  # every query matched something
+
+
+def test_synth_ref_sizes_skewed_artifacts(tmp_path):
+    """build_synth_ref_sizes writes per-genome sizes exactly (including
+    empty groups — the real GTDB index has some), and query planting
+    samples only within each picked genome's combco range."""
+    sizes = np.array([0, 3, 500, 1, 40, 0, 7, 90], dtype=np.int64)
+    ref_dir = str(tmp_path / "ref")
+    qry_dir = str(tmp_path / "qry")
+    synthdb.build_synth_ref_sizes(ref_dir, sizes, seed=5)
+    stat = formats.read_co_stat(ref_dir)
+    np.testing.assert_array_equal(stat.ctx_ct, sizes.astype(np.uint32))
+    codes, index = formats.read_combco(ref_dir, 0)
+    assert codes.size == sizes.sum()
+    np.testing.assert_array_equal(
+        np.diff(index.astype(np.int64)), sizes)
+
+    synthdb.build_synth_queries(qry_dir, ref_dir, 4, 64, hit_rate=1.0,
+                                seed=6, focus_refs=3)
+    qcodes, qindex = formats.read_combco(qry_dir, 0)
+    assert qcodes.size == 4 * 64
+    # hit_rate=1.0: every query code must exist somewhere in the ref DB
+    assert np.isin(qcodes, codes).all()
+
+
+def test_real_gtdb_sizes_reads_reference_index():
+    """The surviving reference artifact parses to the documented shape."""
+    if not os.path.isfile(synthdb.REAL_GTDB_INDEX):
+        pytest.skip("reference checkout without the GTDB index")
+    sizes = synthdb.real_gtdb_sizes()
+    assert sizes.size == 65_702
+    assert int(sizes.sum()) == 19_725_358
+    assert sizes.min() >= 0 and int(sizes.max()) == 23_925
