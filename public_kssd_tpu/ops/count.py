@@ -37,6 +37,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pad_len(n: int) -> int:
+    """Smallest 2^k or 3*2^(k-1) >= max(n, 64). Every per-code stage of
+    the counting kernel scales with the padded query length, so the
+    half-step between powers of two caps pad waste at 1.33x instead of
+    2x (the 1000x10k bench config padded 1.3M real codes to 2^21 = 1.6x
+    work) while only doubling the distinct compiled shapes."""
+    n = max(n, 64)
+    k = (n - 1).bit_length()
+    half = 3 << (k - 2)
+    return half if half >= n else 1 << k
+
+
 def lookup_method(n_probes: int, n_array: int) -> str:
     """searchsorted method by STATIC shapes: the scan method does
     log2(n_array) dependent HBM gathers per probe (measured 879 ms for
@@ -95,7 +107,14 @@ def _lookup_bucket(uniq, bucket, codes, shift: int, K: int):
     per-call DB re-sort (the sort-method alternative re-sorted all of
     uniq every call). The table costs 4 B/bucket of HBM, built once per
     DB upload (_device_bucket)."""
-    p = (codes >> codes.dtype.type(shift)).astype(jnp.int32)
+    nb = bucket.shape[0] - 1
+    # clamp in the UNSIGNED domain: with a real-key-width shift a probe
+    # above the key space can exceed int32 (negative after cast); the
+    # last bucket's hi is the full count, so clamped probes still
+    # resolve to the correct lower bound (nnz)
+    p = jnp.minimum(
+        codes >> codes.dtype.type(shift), codes.dtype.type(nb - 1)
+    ).astype(jnp.int32)
     lo = bucket[p]
     hi = bucket[p + 1]
     nnz = uniq.shape[0]
@@ -146,7 +165,14 @@ def _count_bucketed(
 def _device_bucket(sparse_index):
     """Bucket rank table for the resident DB, cached on the index:
     (bucket_dev int32 [nb+1], shift, K). nb scales with nnz (<= 2^24
-    buckets = 64 MB); built with one host searchsorted per DB load."""
+    buckets = 64 MB); built with one host searchsorted per DB load.
+
+    ``shift`` is derived from the REAL key width (the max code's bit
+    length), not the uint32 container: a 28-bit code space under the
+    old 32-bit assumption left 15/16 of the table pointing at empty
+    high buckets, which packed all codes into 1/16 of the buckets and
+    inflated the per-code binary search from K=4 to K=6 (measured 123
+    -> ~90 ms for the lookup stage at the 1000x10k bench shape)."""
     cached = getattr(sparse_index, "_dev_bucket", None)
     if cached is not None:
         return cached
@@ -155,8 +181,9 @@ def _device_bucket(sparse_index):
     if nnz >= (1 << 31) or nnz == 0:
         sparse_index._dev_bucket = None
         return None
-    nb = 1 << min(max(int(nnz).bit_length(), 10), 24)
-    shift = 32 - int(nb).bit_length() + 1
+    keybits = max(int(uniq_np[-1]).bit_length(), 1)
+    nb = 1 << min(max(int(nnz).bit_length(), 10), 24, keybits)
+    shift = max(keybits - int(nb).bit_length() + 1, 0)
     bucket = np.empty(nb + 1, np.int32)
     probes = (np.arange(nb, dtype=np.uint64) << np.uint64(shift)).astype(
         np.uint32
@@ -168,6 +195,91 @@ def _device_bucket(sparse_index):
     cached = (jnp.asarray(bucket), shift, K)
     sparse_index._dev_bucket = cached
     return cached
+
+
+# packed-row sidecar gate: po is 8 B/row of extra HBM, so it is built
+# only when the CSR row count keeps that under ~512 MB (the 317k
+# uniform synthetic GTDB at 268M rows stays on the unpacked kernel;
+# every realistic DB, including the real-skew GTDB at ~20M rows, packs)
+PACKED_ROWS_MAX = 1 << 26
+
+
+def _device_packed(sparse_index):
+    """(offset | len << 40) per CSR row as ONE uint64 device array:
+    the start/len lookup then costs a single gather per query code
+    instead of two dependent gathers into offsets (measured 70 -> 52 ms
+    for that stage at the 1000x10k bench shape — every stage of this
+    kernel is gather-issue-rate bound, see README roofline). None when
+    the DB exceeds PACKED_ROWS_MAX rows, any row length >= 2^24, or
+    the postings total >= 2^40 (packing would corrupt)."""
+    cached = getattr(sparse_index, "_dev_packed", "unset")
+    if cached != "unset":
+        return cached
+    offs = sparse_index.offsets
+    nnz = offs.size - 1
+    dev = None
+    if 0 < nnz <= PACKED_ROWS_MAX and int(offs[-1]) < (1 << 40):
+        lens = np.diff(offs.astype(np.int64))
+        if lens.size == 0 or int(lens.max()) < (1 << 24):
+            po = offs[:-1].astype(np.uint64) | (
+                lens.astype(np.uint64) << np.uint64(40)
+            )
+            dev = jnp.asarray(po)
+    sparse_index._dev_packed = dev
+    return dev
+
+
+_MASK40 = np.uint64((1 << 40) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_qry", "n_ref", "capacity", "shift", "K", "out16"))
+def _count_bucketed_packed(
+    qry_codes, qry_qid, uniq, po, gids, bucket,
+    *, n_qry: int, n_ref: int, capacity: int, shift: int, K: int,
+    out16: bool,
+):
+    """_count_bucketed with two gather fusions (the kernel is gather-
+    issue-rate bound end to end — README roofline):
+
+      * po = (offset | len << 40): row start AND length in ONE gather
+        per query code instead of two dependent offsets gathers
+      * sq = (start | qid << 40): expansion start AND query id in ONE
+        gather per pair slot instead of two
+
+    Returns (counts flat [n_qry*n_ref] uint16|uint32, total int64)."""
+    nnz = uniq.shape[0]
+    row = _lookup_bucket(uniq, bucket, qry_codes, shift, K)
+    row_c = jnp.clip(row, 0, max(nnz - 1, 0))
+    found = (row < nnz) & (uniq[row_c] == qry_codes) & (qry_qid >= 0)
+    p = po[row_c]
+    start = jnp.where(found, p & jnp.uint64(_MASK40), jnp.uint64(0))
+    length = jnp.where(
+        found, (p >> jnp.uint64(40)).astype(jnp.int32), 0
+    )
+    cum = jnp.cumsum(length.astype(jnp.int64))
+    total = cum[-1]
+    t = jnp.arange(capacity, dtype=jnp.int64)
+    src = rank_into(cum, capacity)
+    src_c = jnp.clip(src, 0, length.shape[0] - 1)
+    sq = start | (
+        jnp.maximum(qry_qid, 0).astype(jnp.uint64) << jnp.uint64(40)
+    )
+    pq = sq[src_c]
+    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+    pos = jnp.clip(
+        (pq & jnp.uint64(_MASK40)).astype(jnp.int64) + (t - prev),
+        0, gids.shape[0] - 1,
+    )
+    rid = gids[pos].astype(jnp.int64)
+    qid = (pq >> jnp.uint64(40)).astype(jnp.int64)
+    valid = t < total
+    flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint32)
+    counts = counts.at[flat].add(jnp.uint32(1))[:-1]
+    if out16:
+        counts = counts.astype(jnp.uint16)
+    return counts, total
 
 
 def count_shared_np(
@@ -528,7 +640,7 @@ def count_shared(
     qid_of = np.searchsorted(
         qry_index[1:], np.arange(qry_codes.size, dtype=np.uint64), "right"
     ).astype(np.int32)
-    L = 1 << max(int(qry_codes.size - 1).bit_length(), 6)
+    L = pad_len(qry_codes.size)
     qc = np.zeros(L, dtype=np.uint32)
     qc[: qry_codes.size] = qry_codes
     qq = np.full(L, -1, dtype=np.int32)
@@ -542,7 +654,14 @@ def count_shared(
     per_qry_max = int(np.diff(qry_index).max()) if n_qry else 0
     out16 = n_qry * n_ref >= (1 << 21) and per_qry_max < (1 << 16)
     bk = _device_bucket(sparse_index)
-    if bk is not None:
+    po = _device_packed(sparse_index) if bk is not None else None
+    # the sq pack holds qid in 24 bits — true for any -m-governed batch
+    if bk is not None and po is not None and n_qry < (1 << 24):
+        bucket, shift, K = bk
+        kern = functools.partial(_count_bucketed_packed, shift=shift,
+                                 K=K, out16=out16)
+        args = (qc_d, qq_d, uniq, po, g, bucket)
+    elif bk is not None:
         bucket, shift, K = bk
         kern = functools.partial(_count_bucketed, shift=shift, K=K,
                                  out16=out16)
