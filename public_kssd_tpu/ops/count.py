@@ -231,6 +231,120 @@ def _device_packed(sparse_index):
 
 _MASK40 = np.uint64((1 << 40) - 1)
 
+# max 128-code rows a bucket window may span for the row-gather kernel
+# (gather cost grows linearly with S; past this the binary-search
+# kernel wins anyway)
+ROWGATHER_MAX_SPAN = 4
+
+
+def _device_rowtab(sparse_index):
+    """Row-gather lookup tables: (uniq2d, rowtab, shift, S, nrows).
+
+    The binary-search lookup pays K+2 SCALAR gathers per query code at
+    the measured ~7 ns XLA-TPU gather issue rate; a 128-lane ROW gather
+    costs only ~2.4 ns while moving 128 values (measured, see README
+    roofline). So the DB's sorted codes are reshaped into [nrows, 128]
+    rows and the per-code search becomes: one scalar gather into a
+    prefix->row rank table, S row gathers, then a pure-VPU lane
+    compare+popcount that yields the exact CSR row — ~12 ns/code
+    instead of ~45.
+
+    S = how many rows a prefix bucket's window can span
+    (ceil(max_occupancy/128) + 1 for the straddle); None when S would
+    exceed ROWGATHER_MAX_SPAN or there is no bucket table."""
+    cached = getattr(sparse_index, "_dev_rowtab", "unset")
+    if cached != "unset":
+        return cached
+    bk = _device_bucket(sparse_index)
+    dev = None
+    if bk is not None:
+        bucket_dev, shift, _K = bk
+        uniq_np = sparse_index.uniq_codes
+        nnz = uniq_np.size
+        bucket_np = np.asarray(bucket_dev)
+        max_occ = int(np.diff(bucket_np.astype(np.int64)).max())
+        S = -(-max_occ // 128) + 1
+        if S <= ROWGATHER_MAX_SPAN and nnz > 0:
+            nrows = -(-nnz // 128)
+            u2 = np.full(
+                (nrows + S, 128), np.iinfo(np.uint32).max, np.uint32
+            )
+            u2.ravel()[:nnz] = uniq_np
+            rowtab = (bucket_np[:-1] >> 7).astype(np.int32)
+            dev = (
+                jnp.asarray(u2), jnp.asarray(rowtab), shift, S,
+                nrows + S,
+            )
+    sparse_index._dev_rowtab = dev
+    return dev
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_qry", "n_ref", "capacity", "shift", "S", "out16"))
+def _count_rowgather(
+    qry_codes, qry_qid, uniq2d, po, gids, rowtab,
+    *, n_qry: int, n_ref: int, capacity: int, shift: int, S: int,
+    out16: bool,
+):
+    """Shared-k counting with the row-gather lookup (_device_rowtab)
+    and the packed-row expansion of _count_bucketed_packed. Returns
+    (counts flat [n_qry*n_ref] uint16|uint32, total int64).
+
+    The lane compare computes lower_bound exactly: the S-row window
+    starts at the bucket's first row, every window entry before the
+    bucket is < the probe's prefix <= probe, and the window covers the
+    whole bucket (S spans max occupancy + boundary straddle), so
+    pos = 128*r0 + #(window < code)."""
+    nrows = uniq2d.shape[0]
+    nnz = po.shape[0]
+    nb = rowtab.shape[0]
+    p = jnp.minimum(
+        qry_codes >> qry_codes.dtype.type(shift),
+        qry_codes.dtype.type(nb - 1),
+    ).astype(jnp.int32)
+    r0 = rowtab[p]
+    less = jnp.zeros(qry_codes.shape[0], jnp.int32)
+    found = jnp.zeros(qry_codes.shape[0], bool)
+    codes_col = qry_codes[:, None]
+    for i in range(S):
+        rowv = uniq2d[jnp.clip(r0 + i, 0, nrows - 1)]  # [L, 128] row gather
+        less = less + (rowv < codes_col).sum(axis=1, dtype=jnp.int32)
+        found = found | (rowv == codes_col).any(axis=1)
+    pos = r0 * 128 + less
+    # pos == nnz guards the one aliasing corner: a probe equal to the
+    # 0xFFFFFFFF row padding that is NOT in the DB matches a pad lane
+    # (found) but ranks past every real code
+    found = found & (qry_qid >= 0) & (pos < nnz)
+    row_c = jnp.clip(pos, 0, max(nnz - 1, 0))
+    pr = po[row_c]
+    start = jnp.where(found, pr & jnp.uint64(_MASK40), jnp.uint64(0))
+    length = jnp.where(
+        found, (pr >> jnp.uint64(40)).astype(jnp.int32), 0
+    )
+    cum = jnp.cumsum(length.astype(jnp.int64))
+    total = cum[-1]
+    t = jnp.arange(capacity, dtype=jnp.int64)
+    src = rank_into(cum, capacity)
+    src_c = jnp.clip(src, 0, length.shape[0] - 1)
+    sq = start | (
+        jnp.maximum(qry_qid, 0).astype(jnp.uint64) << jnp.uint64(40)
+    )
+    pq = sq[src_c]
+    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+    pos2 = jnp.clip(
+        (pq & jnp.uint64(_MASK40)).astype(jnp.int64) + (t - prev),
+        0, gids.shape[0] - 1,
+    )
+    rid = gids[pos2].astype(jnp.int64)
+    qid = (pq >> jnp.uint64(40)).astype(jnp.int64)
+    valid = t < total
+    flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint32)
+    counts = counts.at[flat].add(jnp.uint32(1))[:-1]
+    if out16:
+        counts = counts.astype(jnp.uint16)
+    return counts, total
+
 
 @functools.partial(jax.jit, static_argnames=(
     "n_qry", "n_ref", "capacity", "shift", "K", "out16"))
@@ -655,8 +769,14 @@ def count_shared(
     out16 = n_qry * n_ref >= (1 << 21) and per_qry_max < (1 << 16)
     bk = _device_bucket(sparse_index)
     po = _device_packed(sparse_index) if bk is not None else None
+    rt = _device_rowtab(sparse_index) if po is not None else None
     # the sq pack holds qid in 24 bits — true for any -m-governed batch
-    if bk is not None and po is not None and n_qry < (1 << 24):
+    if rt is not None and n_qry < (1 << 24):
+        uniq2d, rowtab, shift, S, _nrows = rt
+        kern = functools.partial(_count_rowgather, shift=shift, S=S,
+                                 out16=out16)
+        args = (qc_d, qq_d, uniq2d, po, g, rowtab)
+    elif bk is not None and po is not None and n_qry < (1 << 24):
         bucket, shift, K = bk
         kern = functools.partial(_count_bucketed_packed, shift=shift,
                                  K=K, out16=out16)

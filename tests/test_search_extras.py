@@ -488,3 +488,46 @@ def test_uint16_gate_overflow_fallback():
     got = count_ops.count_shared(qry, qidx, sp, n_qry, True)
     assert int(got[0, 0]) == n_codes
     assert int(got.sum()) == n_codes
+
+
+def test_rowgather_kernel_matches_oracle():
+    """The row-gather lookup kernel (one rank-table gather + S row
+    gathers + lane compare, ops.count._count_rowgather) must equal the
+    numpy oracle, including the 0xFFFFFFFF row-padding alias corner
+    (a probe equal to the pad value that is absent from the DB)."""
+    import jax.numpy as jnp
+
+    from public_kssd_tpu import index as index_mod
+    from public_kssd_tpu.ops import count as count_ops
+
+    rng = np.random.default_rng(21)
+    n_ref, sk, n_qry = 40, 300, 12
+    ref = rng.integers(0, 1 << 22, size=(n_ref, sk), dtype=np.uint64)
+    sp = index_mod.build_component_index(
+        np.sort(ref, axis=1).ravel().astype(np.uint32),
+        np.arange(n_ref + 1, dtype=np.uint64) * sk, n_ref)
+    qry = rng.integers(0, 1 << 22, size=n_qry * sk, dtype=np.uint64)
+    hit = rng.random(qry.size) < 0.4
+    qry[hit] = ref.ravel()[rng.integers(0, ref.size, size=int(hit.sum()))]
+    qry = qry.astype(np.uint32)
+    qry[:4] = np.uint32(0xFFFFFFFF)  # pad-alias probes, not in the DB
+    qidx = np.arange(n_qry + 1, dtype=np.uint64) * sk
+    want = count_ops.count_shared_np(
+        qry, qidx, sp.uniq_codes, sp.offsets, sp.gids, n_qry, n_ref)
+    rt = count_ops._device_rowtab(sp)
+    assert rt is not None, "row-gather tables must build for this DB"
+    got = count_ops.count_shared(qry, qidx, sp, n_qry, True)
+    np.testing.assert_array_equal(got, want)
+    assert want.sum() > 0
+
+    # and a DB that genuinely CONTAINS 0xFFFFFFFF
+    u2 = np.unique(np.concatenate([
+        sp.uniq_codes, np.array([0xFFFFFFFF], np.uint32)]))
+    sp2 = index_mod.SparseIndex(
+        uniq_codes=u2,
+        offsets=np.arange(u2.size + 1, dtype=np.uint64),
+        gids=np.zeros(u2.size, np.uint32), n_genomes=1)
+    got2 = count_ops.count_shared(qry, qidx, sp2, n_qry, True)
+    want2 = count_ops.count_shared_np(
+        qry, qidx, sp2.uniq_codes, sp2.offsets, sp2.gids, n_qry, 1)
+    np.testing.assert_array_equal(got2, want2)
