@@ -197,7 +197,12 @@ def bench_counting(n_qry: int = 1000, n_ref: int = 10_000) -> None:
     first_call = time.perf_counter() - t0
     counts = count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
     dt = math.inf
-    for _ in range(3):  # best-of-3: the device tunnel has heavy jitter
+    for rep in range(3):  # best-of-3: the device tunnel has heavy jitter
+        # perturb one code per rep: the backend dedups repeated
+        # identical executions (measured round 5), which would turn
+        # "steady state" into a cache read
+        qry_codes = qry_codes.copy()
+        qry_codes[0] ^= np.uint32(rep + 1)
         t0 = time.perf_counter()
         counts = count_ops.count_shared(qry_codes, qry_index, sp, n_qry, True)
         dt = min(dt, time.perf_counter() - t0)
@@ -218,17 +223,67 @@ HBM_PEAK = 8.1e11  # bytes/s, v5e (public scaling-book figure)
 MXU_PEAK_BF16 = 1.97e14  # flops/s, v5e bf16
 
 
-def bench_counting_roofline() -> None:
-    """Counting-kernel speed-of-light study (VERDICT r3 #6).
+def _chain_time(make_call, base_args, arrs, reps=3):
+    """Device-only seconds/call: in-jit K-chain (1 vs 3) with a fresh
+    scalar input per call and a HOST FETCH as the sync. The only
+    timing methodology that survived round-5 scrutiny on this remote
+    device: the backend dedups repeated identical executions (a
+    repeat-args 40-stage chain returned in 0.6 ms after computing
+    once) and block_until_ready does not reliably sync the tunnel.
+    ``make_call(c, qq, *arrs)`` must return a uint32 scalar that
+    depends on the whole computation."""
+    import jax
+    import jax.numpy as jnp
 
-    (a) DEVICE-ONLY expansion-kernel time via pipelined dispatches (the
-        tunnel's ~26 ms dispatch latency and the count-matrix fetch are
-        excluded by the K=2 vs K=10 slope), then a minimum-traffic HBM
-        model: capacity x (4 B gids gather + 8 B scatter RMW) + count
-        matrix touch (8 B/cell) + query lookup (16 B/code). Achieved
-        fraction-of-peak = modeled bytes / device time / HBM_PEAK.
-    (b) MXU one-hot matmul alternative vs the expansion kernel at small
-        n_ref (128/512/1024) to locate the crossover.
+    qc_d, qq_d = base_args
+
+    def chain(Ko):
+        @jax.jit
+        def f(qc, qq, s, *a):
+            acc = jnp.uint32(0)
+            c = qc ^ s
+            for _ in range(Ko):
+                r = make_call(c, qq, *a)
+                acc = acc + r
+                c = qc ^ (r % 2)
+            return acc
+        return f
+
+    f1, f3 = chain(1), chain(3)
+    int(f1(qc_d, qq_d, jnp.uint32(0), *arrs))
+    int(f3(qc_d, qq_d, jnp.uint32(0), *arrs))
+    best = math.inf
+    for s in range(1, reps + 1):
+        t0 = time.perf_counter()
+        int(f1(qc_d, qq_d, jnp.uint32(s), *arrs))
+        w1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(f3(qc_d, qq_d, jnp.uint32(16 + s), *arrs))
+        w3 = time.perf_counter() - t0
+        best = min(best, (w3 - w1) / 2)
+    return best
+
+
+def bench_counting_roofline() -> None:
+    """Counting-kernel attribution + the measured gather floor
+    (redesigned twice: round 4 modeled minimum HBM bytes and concluded
+    'scatter-bound, <1% of peak'; round-5 stage attribution overturned
+    that — the duplicate-index scatter-add is ~5 ms of a ~300 ms call
+    and every expensive stage is GATHER-bound).
+
+    Measured facts the design now rests on (re-measured here so the
+    record tracks the hardware/toolchain):
+      * XLA TPU gather issues ~1 element / 7 ns regardless of table
+        size (0.1-537 MB) or dependency structure
+      * a 128-lane ROW gather costs ~2.4 ns for 512 B — the
+        row-gather kernel (ops.count._count_rowgather) replaces the
+        scalar binary search with lane loads + VPU compares
+    This section times, via _chain_time (in-jit chain + host-fetch
+    sync — repeated-dispatch timing is unsound on this backend):
+      (a) the production row-gather kernel, device-only
+      (b) the round-4-equivalent kernel on identical inputs
+      (c) the two gather-rate micros + a gather-issue floor model
+      (d) the MXU one-hot matmul crossover at small n_ref
     """
     import jax
     import jax.numpy as jnp
@@ -247,62 +302,96 @@ def bench_counting_roofline() -> None:
     qid_of = np.searchsorted(
         qidx[1:], np.arange(qry.size, dtype=np.uint64), "right"
     ).astype(np.int32)
-    L = 1 << max(int(qry.size - 1).bit_length(), 6)
+    L = count_ops.pad_len(qry.size)
     qc = np.zeros(L, dtype=np.uint32)
     qc[: qry.size] = qry
     qq = np.full(L, -1, dtype=np.int32)
     qq[: qry.size] = qid_of
     uniq, offs, g = count_ops._device_index(sp)
     qc_d, qq_d = jnp.asarray(qc), jnp.asarray(qq)
+    bucket, shift, Kb = count_ops._device_bucket(sp)
+    po = count_ops._device_packed(sp)
+    rt = count_ops._device_rowtab(sp)
 
-    bk = count_ops._device_bucket(sp)
+    # (a) production row-gather kernel
+    u2, rowtab, shift_r, S, _nrows = rt
 
-    def dispatch():
-        if bk is not None:
-            bucket, shift, Kb = bk
-            return count_ops._count_bucketed(
-                qc_d, qq_d, uniq, offs, g, bucket,
-                n_qry=n_qry, n_ref=n_ref, capacity=capacity,
-                shift=shift, K=Kb, out16=False,
-            )
-        return count_ops.count_shared_device(
-            qc_d, qq_d, uniq, offs, g,
-            n_qry=n_qry, n_ref=n_ref, capacity=capacity,
-        )
+    def call_row(c, q, u2, po, g, rowtab):
+        body, total = count_ops._count_rowgather.__wrapped__(
+            c, q, u2, po, g, rowtab, n_qry=n_qry, n_ref=n_ref,
+            capacity=capacity, shift=shift_r, S=S, out16=False)
+        return body[0] + body[-1] + total.astype(jnp.uint32)
 
-    def wall(K):
-        outs = [dispatch() for _ in range(K)]
-        t0 = time.perf_counter()
-        # single device stream: the last completing implies all did
-        jax.block_until_ready(outs[-1])
-        return time.perf_counter() - t0
+    t_row = _chain_time(call_row, (qc_d, qq_d), (u2, po, g, rowtab))
 
-    wall(2)  # compile+warm at this capacity
-    best = math.inf
-    for _ in range(3):
-        w2, w10 = wall(2), wall(10)
-        best = min(best, max((w10 - w2) / 8, 0.0))
-    dev_s = best if best > 1e-5 else None
-    model_bytes = capacity * 12 + n_qry * n_ref * 8 + L * 16
+    # (b) round-4-equivalent: unpacked bucketed kernel at the r4 K=6
+    def call_r4(c, q, uniq, offs, g, bucket):
+        body, total = count_ops._count_bucketed.__wrapped__(
+            c, q, uniq, offs, g, bucket, n_qry=n_qry, n_ref=n_ref,
+            capacity=capacity, shift=shift, K=6, out16=False)
+        return body[0] + body[-1] + total.astype(jnp.uint32)
+
+    t_r4 = _chain_time(call_r4, (qc_d, qq_d), (uniq, offs, g, bucket))
+
+    # (c) gather-rate micros on THIS chip (8-vs-2 stage chains)
+    M = uniq.shape[0]
+    tab1 = jnp.asarray(
+        np.random.default_rng(3).integers(0, M, size=M, dtype=np.int32)
+    )
+
+    NMICRO = 1 << 20  # <= L for every pad_len at this config
+
+    def mk_scalar(stages):
+        def call(c, q, tab1):
+            x = jnp.clip(c[:NMICRO].astype(jnp.int32), 0, M - 1)
+            for _ in range(stages):
+                x = tab1[x]
+            return x.sum().astype(jnp.uint32)
+        return call
+
+    t2 = _chain_time(mk_scalar(2), (qc_d, qq_d), (tab1,))
+    t8 = _chain_time(mk_scalar(8), (qc_d, qq_d), (tab1,))
+    ns_scalar = max((t8 - t2) / 6, 1e-12) / NMICRO * 1e9
+    R = u2.shape[0]
+
+    def mk_row(stages):
+        def call(c, q, u2):
+            r = jnp.clip(c[:NMICRO].astype(jnp.int32), 0, R - 1)
+            for _ in range(stages):
+                out = u2[r]
+                r = jnp.clip(out[:, 0].astype(jnp.int32), 0, R - 1)
+            return r.sum().astype(jnp.uint32)
+        return call
+
+    t2r = _chain_time(mk_row(2), (qc_d, qq_d), (u2,))
+    t8r = _chain_time(mk_row(8), (qc_d, qq_d), (u2,))
+    ns_row = max((t8r - t2r) / 6, 1e-12) / NMICRO * 1e9
+
+    # gather-issue floor for the row-gather kernel's access counts:
+    # per code 2 scalar gathers (rowtab, po) + S row gathers; per pair
+    # slot 3 scalar gathers (sq, cum-prev, gids)
+    floor_s = (
+        L * (2 * ns_scalar + S * ns_row) + capacity * 3 * ns_scalar
+    ) / 1e9
     out = {
         "metric": "counting_kernel_roofline",
-        "value": (
-            round(matched / dev_s, 1) if dev_s else None
-        ),
-        "unit": "matched code-pairs/s, device-only expansion kernel "
-                f"({n_qry} qry x {n_ref} ref, capacity {capacity}, "
-                "dispatch latency + fetch excluded via K-chain slope)",
-        "device_s_per_call": round(dev_s, 5) if dev_s else None,
-        "modeled_min_hbm_bytes": model_bytes,
-        "achieved_GBps_model": (
-            round(model_bytes / dev_s / 1e9, 1) if dev_s else None
-        ),
-        "fraction_of_hbm_peak": (
-            round(model_bytes / dev_s / HBM_PEAK, 5) if dev_s else None
-        ),
+        "value": round(matched / t_row, 1),
+        "unit": "matched code-pairs/s, device-only production "
+                f"row-gather kernel ({n_qry} qry x {n_ref} ref, "
+                f"capacity {capacity}; in-jit chain + host-fetch sync)",
+        "device_s_per_call": round(t_row, 5),
+        "r4_equiv_kernel_s": round(t_r4, 5),
+        "speedup_vs_r4_kernel": round(t_r4 / t_row, 2),
+        "measured_ns_per_scalar_gather": round(ns_scalar, 2),
+        "measured_ns_per_128lane_row_gather": round(ns_row, 2),
+        "gather_issue_floor_s": round(floor_s, 5),
+        "fraction_of_gather_floor": round(floor_s / t_row, 3),
+        "scatter_note": "duplicate-index scatter-add measured ~5 ms "
+                        "of the call (round-5 attribution) — the old "
+                        "'scatter-bound' roofline was wrong",
     }
 
-    # (b) matmul-vs-expansion crossover at small n_ref (sk shrunk so the
+    # (d) matmul-vs-expansion crossover at small n_ref (sk shrunk so the
     # one-hot operands stay well inside the budget at every size)
     crossover = {}
     skx = 256
@@ -323,7 +412,11 @@ def bench_counting_roofline() -> None:
         a = count_ops.count_shared_matmul(q2, qx, spx, nq)
         b = count_ops.count_shared(q2, qx, spx, nq, True)
         assert np.array_equal(a, b), "matmul != expansion counts"
-        for _ in range(3):
+        for rep in range(3):
+            # distinct inputs per rep: the backend dedups repeated
+            # identical executions
+            q2 = q2.copy()
+            q2[0] ^= np.uint32(rep + 1)
             t0 = time.perf_counter()
             count_ops.count_shared(q2, qx, spx, nq, True)
             t_exp = min(t_exp, time.perf_counter() - t0)

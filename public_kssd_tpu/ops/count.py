@@ -255,22 +255,38 @@ def _device_rowtab(sparse_index):
     cached = getattr(sparse_index, "_dev_rowtab", "unset")
     if cached != "unset":
         return cached
-    bk = _device_bucket(sparse_index)
+    uniq_np = sparse_index.uniq_codes
+    nnz = uniq_np.size
     dev = None
-    if bk is not None:
-        bucket_dev, shift, _K = bk
-        uniq_np = sparse_index.uniq_codes
-        nnz = uniq_np.size
-        bucket_np = np.asarray(bucket_dev)
-        max_occ = int(np.diff(bucket_np.astype(np.int64)).max())
-        S = -(-max_occ // 128) + 1
-        if S <= ROWGATHER_MAX_SPAN and nnz > 0:
+    if 0 < nnz < (1 << 31):
+        keybits = max(int(uniq_np[-1]).bit_length(), 1)
+        # SMALL rank table on purpose: measured on a v5e, gathers into
+        # a ~1-4 MB table are effectively free (cache-resident) while
+        # the same gathers into the 64 MB binary-search bucket table
+        # cost ~12 ns each — shrinking the table alone took the
+        # 1000x10k kernel from 151.7 to 96.1 ms at identical S=2.
+        # Start at ~2^6 codes/bucket and widen (more rows per window)
+        # only if a skewed DB pushes S past the span cap.
+        nb_bits = min(max(int(nnz).bit_length() - 6, 10), 24, keybits)
+        while True:
+            nb = 1 << min(nb_bits, keybits)
+            shift = max(keybits - int(nb).bit_length() + 1, 0)
+            probes = (
+                np.arange(nb, dtype=np.uint64) << np.uint64(shift)
+            ).astype(np.uint32)
+            b = np.searchsorted(uniq_np, probes).astype(np.int64)
+            occ = np.diff(np.append(b, nnz))
+            S = int(-(-int(occ.max()) // 128) + 1)
+            if S <= ROWGATHER_MAX_SPAN or nb_bits >= min(24, keybits):
+                break
+            nb_bits += 2  # skewed DB: finer buckets shrink the span
+        if S <= ROWGATHER_MAX_SPAN:
             nrows = -(-nnz // 128)
             u2 = np.full(
                 (nrows + S, 128), np.iinfo(np.uint32).max, np.uint32
             )
             u2.ravel()[:nnz] = uniq_np
-            rowtab = (bucket_np[:-1] >> 7).astype(np.int32)
+            rowtab = (b >> 7).astype(np.int32)
             dev = (
                 jnp.asarray(u2), jnp.asarray(rowtab), shift, S,
                 nrows + S,
@@ -321,24 +337,50 @@ def _count_rowgather(
     length = jnp.where(
         found, (pr >> jnp.uint64(40)).astype(jnp.int32), 0
     )
+    # cum stays int64 so an over-capacity true total cannot wrap past
+    # the host's retry check; the EXPANSION runs in 32-bit when the
+    # static bounds allow (64-bit gathers cost ~2x on TPU via 2x32
+    # emulation — measured in the round-5 stage attribution)
     cum = jnp.cumsum(length.astype(jnp.int64))
     total = cum[-1]
-    t = jnp.arange(capacity, dtype=jnp.int64)
     src = rank_into(cum, capacity)
     src_c = jnp.clip(src, 0, length.shape[0] - 1)
-    sq = start | (
-        jnp.maximum(qry_qid, 0).astype(jnp.uint64) << jnp.uint64(40)
+    use32 = (
+        gids.shape[0] < (1 << 31) and n_qry * n_ref + 1 < (1 << 31)
     )
-    pq = sq[src_c]
-    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
-    pos2 = jnp.clip(
-        (pq & jnp.uint64(_MASK40)).astype(jnp.int64) + (t - prev),
-        0, gids.shape[0] - 1,
-    )
-    rid = gids[pos2].astype(jnp.int64)
-    qid = (pq >> jnp.uint64(40)).astype(jnp.int64)
-    valid = t < total
-    flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    if use32:
+        # valid slots have prev < total <= capacity < 2^31 and
+        # start < gids.size < 2^31; pad slots are dropped via flat
+        t = jnp.arange(capacity, dtype=jnp.int32)
+        cum32 = jnp.minimum(cum, jnp.int64((1 << 31) - 1)).astype(
+            jnp.int32
+        )
+        sq = start.astype(jnp.uint32)
+        qid_arr = jnp.maximum(qry_qid, 0)
+        pq = sq[src_c]
+        qid = qid_arr[src_c]
+        prev = jnp.where(src_c > 0, cum32[jnp.maximum(src_c - 1, 0)], 0)
+        pos2 = jnp.clip(
+            pq.astype(jnp.int32) + (t - prev), 0, gids.shape[0] - 1
+        )
+        rid = gids[pos2].astype(jnp.int32)
+        valid = t.astype(jnp.int64) < total
+        flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    else:
+        t = jnp.arange(capacity, dtype=jnp.int64)
+        sq = start | (
+            jnp.maximum(qry_qid, 0).astype(jnp.uint64) << jnp.uint64(40)
+        )
+        pq = sq[src_c]
+        prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+        pos2 = jnp.clip(
+            (pq & jnp.uint64(_MASK40)).astype(jnp.int64) + (t - prev),
+            0, gids.shape[0] - 1,
+        )
+        rid = gids[pos2].astype(jnp.int64)
+        qid = (pq >> jnp.uint64(40)).astype(jnp.int64)
+        valid = t < total
+        flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
     counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint32)
     counts = counts.at[flat].add(jnp.uint32(1))[:-1]
     if out16:
