@@ -663,6 +663,15 @@ def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
     """
     dens = getattr(sparse_index, "_pair_density", 2.0)
     capacity = 1 << max(int(max(dens * 1.25 * n_codes, 1) - 1).bit_length(), 6)
+    # capacity STICKINESS: each distinct capacity is a separate XLA
+    # compile (~5-15 s), so when the learned density shrinks the
+    # heuristic below an already-compiled capacity, keep the compiled
+    # one unless it wastes > 4x expansion work — the -m batch loop and
+    # warm+timed bench pairs then reuse one program instead of
+    # recompiling mid-stream
+    last = getattr(sparse_index, "_last_capacity", 0)
+    if capacity <= last <= 4 * capacity:
+        capacity = last
     while True:
         res = kernel(*args, n_qry=n_qry, n_ref=n_ref, capacity=capacity)
         if isinstance(res, tuple):
@@ -686,6 +695,7 @@ def _run_counting(kernel, args, n_codes, sparse_index, n_qry, n_ref):
     sparse_index._pair_density = max(
         getattr(sparse_index, "_pair_density", 0.0), total / max(n_codes, 1)
     )
+    sparse_index._last_capacity = capacity
     return out
 
 
