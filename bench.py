@@ -807,12 +807,15 @@ _SCALING_CHILD = textwrap.dedent("""
     per_col = REF_PER_SHARD if strategy == "genome" else n_ref
     fn = sharded_search.make_sharded_count_fn(
         mesh, n_qry, per_col, capacity, strategy=strategy,
-        bshift=db.bshift, bK=db.bK)
+        rshift=db.rshift, rspan=db.rspan)
     sh_ref = NamedSharding(mesh, P("ref", None))
+    sh_ref3 = NamedSharding(mesh, P("ref", None, None))
     sh_dp = NamedSharding(mesh, P("dp"))
     db_dev = tuple(
-        jax.make_array_from_callback(a.shape, sh_ref, lambda i, a=a: a[i])
-        for a in (db.uniq, db.offsets, db.gids, db.bucket))
+        jax.make_array_from_callback(
+            a.shape, sh_ref3 if a.ndim == 3 else sh_ref,
+            lambda i, a=a: a[i])
+        for a in (db.uniq, db.offsets, db.gids, db.u2, db.rowtab))
     qk_dev = jax.make_array_from_callback(
         qk_pad.shape, sh_dp, lambda i: qk_pad[i])
     qq_dev = jax.make_array_from_callback(

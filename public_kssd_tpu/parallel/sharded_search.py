@@ -66,11 +66,15 @@ class ShardedDB:
     n_ref: int
     n_shards: int
     row_bounds: np.ndarray  # int64 [S+1] shard cut rows in the merged CSR
-    # per-shard bucket rank tables over the key space (ops.count
-    # bucket-lookup design, built by _attach_buckets): int32 [S, nb+1]
-    bucket: np.ndarray | None = None
-    bshift: int = 0
-    bK: int = 1
+    # per-shard ROW-GATHER lookup tables (the sharded twin of
+    # ops.count._device_rowtab, built by _attach_buckets): the shard's
+    # sorted keys reshaped to 128-lane rows + a small prefix->row rank
+    # table; per-key lookup = 1 scalar gather + rspan row gathers +
+    # a VPU lane compare instead of a K-step binary search
+    u2: np.ndarray | None = None  # uint64 [S, nrows_pad, 128]
+    rowtab: np.ndarray | None = None  # int32 [S, nb]
+    rshift: int = 0
+    rspan: int = 1
 
 
 def merge_components(
@@ -236,12 +240,14 @@ def build_genome_sharded_db(
 
 
 def _attach_buckets(db: ShardedDB) -> ShardedDB:
-    """Per-shard bucket rank tables: bucket[s][p] = first row of shard s
-    whose key has top bits >= p. Probes use the GLOBAL key width, so the
-    per-code binary search in _count_partial is bounded by K = log2(max
-    bucket occupancy) gathers instead of log2(nnz_pad) — the sharded
-    twin of ops.count._device_bucket. Pad keys (UINT64_MAX) sort after
-    every probe, so bucket entries never point into the pad run."""
+    """Per-shard ROW-GATHER lookup tables (the sharded twin of
+    ops.count._device_rowtab): each shard's sorted keys reshaped to
+    [nrows, 128] rows (pad UINT64_MAX) plus a SMALL prefix->row rank
+    table over the GLOBAL key width. Small on purpose — measured on a
+    v5e, gathers into a ~1-4 MB table are ~free while a 64 MB table
+    costs ~12 ns each. Pad keys sort after every probe and can never
+    equal a real key (keys are code<<bits|comp < 2^(32+bits)), so the
+    lane-equality found check has no alias corner here."""
     S, nnz_pad = db.uniq.shape
     real_max = np.uint64(0)
     for srow in db.uniq:
@@ -249,43 +255,110 @@ def _attach_buckets(db: ShardedDB) -> ShardedDB:
         if vals.size:
             real_max = max(real_max, np.uint64(vals[-1]))
     keybits = max(int(real_max).bit_length(), 1)
-    nb = 1 << min(max(int(nnz_pad).bit_length(), 10), 22)
-    shift = max(keybits - int(nb).bit_length() + 1, 0)
-    probes = np.arange(nb, dtype=np.uint64) << np.uint64(shift)
-    bucket = np.empty((S, nb + 1), np.int32)
-    max_occ = 1
-    for sidx in range(S):
-        srow = db.uniq[sidx]
-        real = int(np.searchsorted(srow, np.uint64(np.iinfo(np.uint64).max)))
-        bucket[sidx, :nb] = np.searchsorted(srow, probes)
-        bucket[sidx, nb] = real
-        max_occ = max(
-            max_occ,
-            int(np.diff(bucket[sidx].astype(np.int64)).max(initial=1)),
-        )
-    return dataclasses.replace(
-        db, bucket=bucket, bshift=shift,
-        bK=max(int(max_occ).bit_length(), 1),
+    nb_bits = min(max(int(nnz_pad).bit_length() - 6, 10), 22, keybits)
+    while True:
+        nb = 1 << min(nb_bits, keybits)
+        shift = max(keybits - int(nb).bit_length() + 1, 0)
+        probes = np.arange(nb, dtype=np.uint64) << np.uint64(shift)
+        rowtab = np.empty((S, nb), np.int32)
+        max_occ = 1
+        for sidx in range(S):
+            srow = db.uniq[sidx]
+            b = np.searchsorted(srow, probes).astype(np.int64)
+            real = int(
+                np.searchsorted(srow, np.uint64(np.iinfo(np.uint64).max))
+            )
+            max_occ = max(
+                max_occ,
+                int(np.diff(np.append(b, real)).max(initial=1)),
+            )
+            rowtab[sidx] = (b >> 7).astype(np.int32)
+        span = -(-max_occ // 128) + 1
+        if span <= 4 or nb_bits >= min(22, keybits):
+            break
+        nb_bits += 2  # skewed key space: finer buckets shrink the span
+    nrows = -(-nnz_pad // 128)
+    u2 = np.full(
+        (S, nrows + span, 128), np.iinfo(np.uint64).max, np.uint64
     )
+    for sidx in range(S):
+        # contiguous per-shard view: reshape stays a view, the write
+        # lands in u2 (a [:, :nrows].reshape across S would copy)
+        u2[sidx, :nrows].reshape(-1)[:nnz_pad] = db.uniq[sidx]
+    return dataclasses.replace(
+        db, u2=u2, rowtab=rowtab, rshift=shift, rspan=span,
+    )
+
+
+def _window_search(qry_keys, uniq, rowtab, rshift: int, rspan: int):
+    """Scalar binary search bounded to the rank-table window (the CPU
+    mesh fallback): lower_bound lies in [rowtab[p]*128, +rspan*128), so
+    ~log2(rspan*128) gathers per key — the same cost shape as the old
+    per-shard bucket search, without the row-gather's 128x lane work
+    that the CPU VPU-less backend would pay."""
+    nb = rowtab.shape[0]
+    nnz = uniq.shape[0]
+    p = jnp.minimum(
+        qry_keys >> jnp.uint64(rshift), jnp.uint64(nb - 1)
+    ).astype(jnp.int32)
+    lo = rowtab[p] * 128
+    hi = jnp.minimum(lo + rspan * 128, nnz)
+    for _ in range(int(rspan * 128).bit_length()):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = uniq[jnp.clip(mid, 0, max(nnz - 1, 0))]
+        less = v < qry_keys
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+    row_c = jnp.clip(lo, 0, max(nnz - 1, 0))
+    found = (lo < nnz) & (uniq[row_c] == qry_keys)
+    return lo, found
+
+
+def _rowgather_lookup(qry_keys, u2, rowtab, rshift: int, rspan: int):
+    """Per-shard row-gather lower_bound on uint64 keys: 1 scalar gather
+    into the small rank table + rspan 128-lane row gathers + a VPU
+    lane compare/popcount (the sharded twin of the lookup inside
+    ops.count._count_rowgather). Returns (row, found) — found needs no
+    pad-alias guard here because the UINT64_MAX pad can never equal a
+    folded key."""
+    nrows = u2.shape[0]
+    nb = rowtab.shape[0]
+    p = jnp.minimum(
+        qry_keys >> jnp.uint64(rshift), jnp.uint64(nb - 1)
+    ).astype(jnp.int32)
+    r0 = rowtab[p]
+    less = jnp.zeros(qry_keys.shape[0], jnp.int32)
+    found = jnp.zeros(qry_keys.shape[0], bool)
+    kk = qry_keys[:, None]
+    for i in range(rspan):
+        rowv = u2[jnp.clip(r0 + i, 0, nrows - 1)]
+        less = less + (rowv < kk).sum(axis=1, dtype=jnp.int32)
+        found = found | (rowv == kk).any(axis=1)
+    return r0 * 128 + less, found
 
 
 def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacity,
-                   bucket=None, bshift=0, bK=1):
+                   u2=None, rowtab=None, rshift=0, rspan=1):
     """Per-shard counting (same algorithm as ops.count.count_shared_device,
     on uint64 keys). All inputs are the LOCAL shard block."""
-    from public_kssd_tpu.ops.count import (
-        _lookup_bucket, lookup_method, rank_into,
-    )
+    from public_kssd_tpu.ops.count import lookup_method, rank_into
 
     nnz = uniq.shape[0]
-    if bucket is not None:
-        row = _lookup_bucket(uniq, bucket, qry_keys, bshift, bK)
+    if u2 is not None:
+        row, found = _rowgather_lookup(qry_keys, u2, rowtab, rshift, rspan)
+        row_c = jnp.clip(row, 0, nnz - 1)
+        found = found & (qry_qid >= 0)
+    elif rowtab is not None:
+        row, found = _window_search(qry_keys, uniq, rowtab, rshift, rspan)
+        row_c = jnp.clip(row, 0, nnz - 1)
+        found = found & (qry_qid >= 0)
     else:
         row = jnp.searchsorted(
             uniq, qry_keys, method=lookup_method(qry_keys.shape[0], nnz)
         )
-    row_c = jnp.clip(row, 0, nnz - 1)
-    found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
+        row_c = jnp.clip(row, 0, nnz - 1)
+        found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)
     length = jnp.where(found, offsets[row_c + 1] - offsets[row_c], 0)
     cum = jnp.cumsum(length)
@@ -305,7 +378,7 @@ def _count_partial(qry_keys, qry_qid, uniq, offsets, gids, n_qry, n_ref, capacit
 
 def _count_partial_pair(
     qry_keys, qry_qid, qry_w, uniq, offsets, gids, n_qry, n_ref, capacity,
-    bucket=None, bshift=0, bK=1,
+    u2=None, rowtab=None, rshift=0, rspan=1,
 ):
     """ONE lookup + expansion pass emitting BOTH matrices: the uint32
     shared counts and the uint64 abundance-weighted counts (each matched
@@ -317,19 +390,23 @@ def _count_partial_pair(
     code-strategy merge decomposes it into uint32 planes for the
     collective (make_sharded_count_fn.merge_u64) so no backend needs a
     64-bit integer all-reduce."""
-    from public_kssd_tpu.ops.count import (
-        _lookup_bucket, lookup_method, rank_into,
-    )
+    from public_kssd_tpu.ops.count import lookup_method, rank_into
 
     nnz = uniq.shape[0]
-    if bucket is not None:
-        row = _lookup_bucket(uniq, bucket, qry_keys, bshift, bK)
+    if u2 is not None:
+        row, found = _rowgather_lookup(qry_keys, u2, rowtab, rshift, rspan)
+        row_c = jnp.clip(row, 0, nnz - 1)
+        found = found & (qry_qid >= 0)
+    elif rowtab is not None:
+        row, found = _window_search(qry_keys, uniq, rowtab, rshift, rspan)
+        row_c = jnp.clip(row, 0, nnz - 1)
+        found = found & (qry_qid >= 0)
     else:
         row = jnp.searchsorted(
             uniq, qry_keys, method=lookup_method(qry_keys.shape[0], nnz)
         )
-    row_c = jnp.clip(row, 0, nnz - 1)
-    found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
+        row_c = jnp.clip(row, 0, nnz - 1)
+        found = (row < nnz) & (uniq[row_c] == qry_keys) & (qry_qid >= 0)
     start = jnp.where(found, offsets[row_c], 0)
     length = jnp.where(found, offsets[row_c + 1] - offsets[row_c], 0)
     cum = jnp.cumsum(length)
@@ -357,14 +434,15 @@ def make_sharded_count_fn(
     mesh: Mesh, n_qry: int, n_ref: int, capacity: int,
     qry_axis: str = "dp", ref_axis: str = "ref",
     weighted: bool = False, strategy: str = "code",
-    bshift: int = 0, bK: int = 1,
+    rshift: int = 0, rspan: int = 1,
+    use_rowgather: bool | None = None,
 ):
     """jit-compiled 2-D SPMD counting step over ``mesh``.
 
     Inputs (global shapes):
       qry_keys uint64 [n_qry_pad_total_codes]  sharded over dp
       qry_qid  int32  [same]                   sharded over dp (LOCAL ids)
-      db.uniq/offsets/gids                     sharded over ref (leading axis)
+      db.uniq/offsets/gids/u2/rowtab           sharded over ref (leading axis)
 
     ``strategy='code'``: n_ref is the GLOBAL genome count; per-shard
     partial [n_qry, n_ref] matrices merge with psum over ``ref`` (one
@@ -385,6 +463,14 @@ def make_sharded_count_fn(
     budget.
     """
     genome = strategy == "genome"
+    # the row-gather lookup is a TPU-memory-system optimisation (lane
+    # loads beat scalar gathers ~3x there); on the CPU backend the
+    # 128-lane compares do 128x the work of a binary search and slow
+    # the step ~6x (measured), so CPU meshes — including the
+    # weak-scaling instrument's — keep the searchsorted lookup. The
+    # sharding structure (specs, collectives) is identical either way.
+    if use_rowgather is None:
+        use_rowgather = jax.default_backend() != "cpu"
     out_spec = P(qry_axis, ref_axis) if genome else P(qry_axis, None)
 
     def merge(x):
@@ -411,10 +497,12 @@ def make_sharded_count_fn(
         )
 
     if weighted:
-        def step(qk, qq, qw, uniq, offsets, gids, bucket):
+        def step(qk, qq, qw, uniq, offsets, gids, u2, rowtab):
             partial, wpartial = _count_partial_pair(
                 qk, qq, qw, uniq[0], offsets[0], gids[0],
-                n_qry, n_ref, capacity, bucket[0], bshift, bK,
+                n_qry, n_ref, capacity,
+                u2[0] if use_rowgather else None,
+                rowtab[0], rshift, rspan,
             )
             return merge(partial), merge_u64(wpartial)
 
@@ -424,16 +512,18 @@ def make_sharded_count_fn(
             in_specs=(
                 P(qry_axis), P(qry_axis), P(qry_axis),
                 P(ref_axis, None), P(ref_axis, None), P(ref_axis, None),
-                P(ref_axis, None),
+                P(ref_axis, None, None), P(ref_axis, None),
             ),
             out_specs=(out_spec, out_spec),
         )
         return jax.jit(fn)
 
-    def step(qk, qq, uniq, offsets, gids, bucket):
+    def step(qk, qq, uniq, offsets, gids, u2, rowtab):
         return merge(_count_partial(
             qk, qq, uniq[0], offsets[0], gids[0], n_qry, n_ref,
-            capacity, bucket[0], bshift, bK,
+            capacity,
+            u2[0] if use_rowgather else None,
+            rowtab[0], rshift, rspan,
         ))
 
     fn = shard_map(
@@ -442,7 +532,7 @@ def make_sharded_count_fn(
         in_specs=(
             P(qry_axis), P(qry_axis),
             P(ref_axis, None), P(ref_axis, None), P(ref_axis, None),
-            P(ref_axis, None),
+            P(ref_axis, None, None), P(ref_axis, None),
         ),
         out_specs=out_spec,
     )
@@ -503,9 +593,13 @@ def sharded_search_counts(
     )
     # DB shards go on-device ONCE; query batches stream against them
     sh_ref = NamedSharding(mesh, P(ref_axis, None))
+    sh_ref3 = NamedSharding(mesh, P(ref_axis, None, None))
     db_dev = tuple(
-        jax.make_array_from_callback(a.shape, sh_ref, lambda i, a=a: a[i])
-        for a in (db.uniq, db.offsets, db.gids, db.bucket)
+        jax.make_array_from_callback(
+            a.shape, sh_ref3 if a.ndim == 3 else sh_ref,
+            lambda i, a=a: a[i],
+        )
+        for a in (db.uniq, db.offsets, db.gids, db.u2, db.rowtab)
     )
     batch = batch or n_qry_total
     for b0 in range(0, n_qry_total, batch):
@@ -615,7 +709,7 @@ def _sharded_count_block(
     fn = make_sharded_count_fn(
         mesh, per_dp, per_col, capacity, qry_axis, ref_axis,
         weighted=qw is not None, strategy=strategy,
-        bshift=db.bshift, bK=db.bK,
+        rshift=db.rshift, rspan=db.rspan,
     )
     qk_flat = qk_pad.reshape(-1)
     qq_flat = qq_pad.reshape(-1)

@@ -278,3 +278,60 @@ def test_cli_device_index_matches_host(db7, tmp_path):
                 assert fa.read() == fb.read(), name
     finally:
         os.chdir(old)
+
+
+@pytest.mark.parametrize("strategy", ["genome", "code"])
+def test_mesh_rowgather_lookup_equals_searchsorted(db7, strategy):
+    """The TPU row-gather mesh lookup (use_rowgather=True, exercised
+    here on CPU where the default is the searchsorted path) must
+    produce identical sharded counts."""
+    root, params, comps, oracle = db7
+    key, offsets, gids = sharded_search.merge_components(
+        comps, params.comp_code_bits
+    )
+    n_ref = comps[0].n_genomes
+    builder = (
+        sharded_search.build_genome_sharded_db
+        if strategy == "genome" else sharded_search.build_sharded_db
+    )
+    db = sharded_search._attach_buckets(builder(key, offsets, gids, n_ref, 4))
+    assert db.u2 is not None and db.rowtab is not None
+    qk, qq = sharded_search.query_keys(
+        os.path.join(root, "my_qry_hit"), params.comp_code_bits
+    )
+    n_qry = 3
+    L = 1 << max(int(max(qk.size - 1, 1)).bit_length(), 6)
+    qk_pad = np.zeros((1, L), np.uint64)
+    qk_pad[0, : qk.size] = qk
+    qq_pad = np.full((1, L), -1, np.int32)
+    qq_pad[0, : qq.size] = qq
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "ref"))
+    capacity = sharded_search.estimate_capacity(
+        db, qk_pad, qq_pad, key, offsets, strategy
+    )
+    per_col = -(-n_ref // 4) if strategy == "genome" else n_ref
+    outs = {}
+    for rg in (False, True):
+        fn = sharded_search.make_sharded_count_fn(
+            mesh, n_qry, per_col, capacity, strategy=strategy,
+            rshift=db.rshift, rspan=db.rspan, use_rowgather=rg,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh_ref = NamedSharding(mesh, P("ref", None))
+        sh_ref3 = NamedSharding(mesh, P("ref", None, None))
+        sh_dp = NamedSharding(mesh, P("dp"))
+        db_dev = tuple(
+            jax.make_array_from_callback(
+                a.shape, sh_ref3 if a.ndim == 3 else sh_ref,
+                lambda i, a=a: a[i])
+            for a in (db.uniq, db.offsets, db.gids, db.u2, db.rowtab)
+        )
+        qk_d = jax.make_array_from_callback(
+            (L,), sh_dp, lambda i: qk_pad.reshape(-1)[i])
+        qq_d = jax.make_array_from_callback(
+            (L,), sh_dp, lambda i: qq_pad.reshape(-1)[i])
+        with mesh:
+            outs[rg] = np.asarray(fn(qk_d, qq_d, *db_dev))[:n_qry, :n_ref]
+    np.testing.assert_array_equal(outs[True], outs[False])
+    np.testing.assert_array_equal(outs[True], oracle)
