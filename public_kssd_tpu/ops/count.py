@@ -558,6 +558,63 @@ def count_shared_weighted_device(
     return counts.at[-1].set(total.astype(jnp.uint64))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_qry", "n_ref", "capacity", "shift", "S"))
+def _count_weighted_rowgather(
+    qry_codes, qry_qid, qry_weights, uniq2d, po, gids, rowtab,
+    *, n_qry: int, n_ref: int, capacity: int, shift: int, S: int,
+):
+    """count_shared_weighted_device with the row-gather lookup and the
+    packed-row sidecar (the koc twin of _count_rowgather): each matched
+    pair contributes its query code's abundance. Returns
+    (uint64 [n_qry*n_ref] flat, total int64)."""
+    nrows = uniq2d.shape[0]
+    nnz = po.shape[0]
+    nb = rowtab.shape[0]
+    p = jnp.minimum(
+        qry_codes >> qry_codes.dtype.type(shift),
+        qry_codes.dtype.type(nb - 1),
+    ).astype(jnp.int32)
+    r0 = rowtab[p]
+    less = jnp.zeros(qry_codes.shape[0], jnp.int32)
+    found = jnp.zeros(qry_codes.shape[0], bool)
+    codes_col = qry_codes[:, None]
+    for i in range(S):
+        rowv = uniq2d[jnp.clip(r0 + i, 0, nrows - 1)]
+        less = less + (rowv < codes_col).sum(axis=1, dtype=jnp.int32)
+        found = found | (rowv == codes_col).any(axis=1)
+    pos = r0 * 128 + less
+    found = found & (qry_qid >= 0) & (pos < nnz)
+    row_c = jnp.clip(pos, 0, max(nnz - 1, 0))
+    pr = po[row_c]
+    start = jnp.where(found, pr & jnp.uint64(_MASK40), jnp.uint64(0))
+    length = jnp.where(
+        found, (pr >> jnp.uint64(40)).astype(jnp.int32), 0
+    )
+    cum = jnp.cumsum(length.astype(jnp.int64))
+    total = cum[-1]
+    t = jnp.arange(capacity, dtype=jnp.int64)
+    src = rank_into(cum, capacity)
+    src_c = jnp.clip(src, 0, length.shape[0] - 1)
+    sq = start | (
+        jnp.maximum(qry_qid, 0).astype(jnp.uint64) << jnp.uint64(40)
+    )
+    pq = sq[src_c]
+    prev = jnp.where(src_c > 0, cum[jnp.maximum(src_c - 1, 0)], 0)
+    pos2 = jnp.clip(
+        (pq & jnp.uint64(_MASK40)).astype(jnp.int64) + (t - prev),
+        0, gids.shape[0] - 1,
+    )
+    rid = gids[pos2].astype(jnp.int64)
+    qid = (pq >> jnp.uint64(40)).astype(jnp.int64)
+    valid = t < total
+    flat = jnp.where(valid, qid * n_ref + rid, n_qry * n_ref)
+    w = jnp.where(valid, qry_weights[src_c].astype(jnp.uint64), 0)
+    counts = jnp.zeros((n_qry * n_ref + 1,), jnp.uint64)
+    counts = counts.at[flat].add(w)[:-1]
+    return counts, total
+
+
 def count_shared_weighted(
     qry_codes: np.ndarray,
     qry_index: np.ndarray,
@@ -588,7 +645,7 @@ def count_shared_weighted(
         exp_w = np.repeat(qry_weights[found].astype(np.uint64), lens)
         np.add.at(counts, (exp_qids, exp_gids), exp_w)
         return counts
-    L = 1 << max(int(qry_codes.size - 1).bit_length(), 6)
+    L = pad_len(qry_codes.size)
     qc = np.zeros(L, dtype=np.uint32)
     qc[: qry_codes.size] = qry_codes
     qq = np.full(L, -1, dtype=np.int32)
@@ -597,11 +654,21 @@ def count_shared_weighted(
     qw[: qry_codes.size] = qry_weights
     uniq, offs, g = _device_index(sparse_index)
     qc_d, qq_d = jnp.asarray(qc), jnp.asarray(qq)
-    out = _run_counting(
-        count_shared_weighted_device,
-        (qc_d, qq_d, jnp.asarray(qw), uniq, offs, g),
-        qry_codes.size, sparse_index, n_qry, n_ref,
-    )
+    po = _device_packed(sparse_index)
+    rt = _device_rowtab(sparse_index) if po is not None else None
+    if rt is not None and n_qry < (1 << 24):
+        uniq2d, rowtab, shift, S, _nrows = rt
+        out = _run_counting(
+            functools.partial(_count_weighted_rowgather, shift=shift, S=S),
+            (qc_d, qq_d, jnp.asarray(qw), uniq2d, po, g, rowtab),
+            qry_codes.size, sparse_index, n_qry, n_ref,
+        )
+    else:
+        out = _run_counting(
+            count_shared_weighted_device,
+            (qc_d, qq_d, jnp.asarray(qw), uniq, offs, g),
+            qry_codes.size, sparse_index, n_qry, n_ref,
+        )
     return out.reshape(n_qry, n_ref)
 
 
