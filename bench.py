@@ -1,32 +1,45 @@
 """Benchmarks vs BASELINE.md on ONE chip.
 
-Sections (each emits one JSON line; the LAST line is the headline):
+Sections (each emits one JSON line; every emit is mirrored into
+bench_results.json, and the LAST stdout line is a compact summary of
+the headline + ALL metrics so the driver's tail capture holds the
+whole round record):
 
   1. HEADLINE FIRST: end-to-end genomes sketched/s from gzipped fasta on
      disk (BASELINE.md stage-I config: 10 x ~5.3 Mb, k=10/s=6/l=3 -> 6
      genomes/s on a 64-vCPU x86 reference box), measured in best-of-2
      FRESH SUBPROCESSES before this process opens the exclusive TPU,
      for both the TPU-native sorted dedup and the DEFAULT byte-parity
-     compat-order dedup.
+     compat-order dedup. NOTE: this metric is bounded by the device
+     tunnel, whose bandwidth swings 8.8-613 MB/s hour to hour.
   2. TPU correctness gate: the Pallas sketch kernel must agree with the
      jnp path on the real chip (Mosaic lowering quirks do not reproduce
      in interpret mode — see ops/pallas_sketch.py), then the sketch
      stage breakdown (parse / pack+upload+kernel / dedup, unpipelined)
      + measured tunnel bandwidth + raw kernel Gbases/s.
-  3. Pair counting at TWO DB sizes: 10k refs (13M postings) and 100k
+  3. HOST-I/O speed-of-light: parse / pack / upload terms measured with
+     no device in the loop + the projected genomes/s/chip on a real
+     PCIe host (the design-bound number the tunnel cannot touch).
+  4. Pair counting at TWO DB sizes: 10k refs (13M postings) and 100k
      refs (130M postings), with the capacity-learning first call timed
      separately from steady state (the search hot loop,
-     command_dist.c:779-784); then the counting-kernel ROOFLINE study
-     (device-only K-chain timing, min-HBM-traffic model, MXU matmul
-     crossover).
-  4. GTDB-317k flagship THROUGH THE ON-DISK ARTIFACTS (SURVEY C17):
-     synthetic 317k-genome x ~1,300-code DB -> combco -> stage II CSR
-     sidecar -> load_sparse_index -> -m-governed counting on the chip ->
-     top-N statistics, plus composite via the CSR join SHARING the
-     search index's device residency. Reports pairs/s, peak host RSS
-     and DB HBM bytes.
-  5. WEAK-scaling study on CPU subprocesses (fixed per-device DB shard):
-     per-step process-CPU inflation + all-reduce bytes from the
+     command_dist.c:779-784); then the counting-kernel ROOFLINE study:
+     the production row-gather kernel vs the round-4 kernel like for
+     like, the two measured gather rates, a gather-issue floor model
+     and the MXU matmul crossover — all timed with in-jit chains +
+     host-fetch sync (_chain_time; repeated-dispatch timing is
+     unsound on this backend).
+  5. GTDB flagship THROUGH THE ON-DISK ARTIFACTS (SURVEY C17), twice:
+     the synthetic 317k-genome x ~1,300-code scale stressor AND the
+     REAL size distribution (65,702 species groups from the surviving
+     combco.index.0, 80x skew) -> combco -> stage II CSR sidecar ->
+     -m-governed counting -> top-N statistics, plus composite via the
+     CSR join SHARING the search index's device residency, plus the
+     shard-balance factors of both sharding strategies under the real
+     skew.
+  6. WEAK-scaling study on CPU subprocesses (fixed per-device DB
+     shard, 1 XLA thread per device): MARGINAL per-step CPU inflation
+     with a linearity-fit validity control, all-reduce bytes from the
      compiled HLO for BOTH sharding strategies, and 1- vs 2-process
      jax.distributed sketching with total-CPU inflation.
 """
